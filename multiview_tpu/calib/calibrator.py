@@ -1,0 +1,393 @@
+"""Multi-pass rig calibration driver: triangulate -> optimize -> filter
+outliers, repeated.
+
+TPU re-design of the reference driver's optimization loop
+(`/root/reference/rig_calibrator/bin/rig_calibrator.cc:1550-1990`):
+
+  for pass in range(num_passes):
+      points   = multiViewTriangulation(...)         -> batched vmapped kernel
+      solve    = ceres ITERATIVE_SCHUR               -> LM (dense or Schur CG)
+      outliers = flagOutliersByTriAngleAndReprojErr  -> vectorized gates
+
+Outlier state is a monotone boolean mask on padded observation tensors
+(inliers never return, rig_calibrator.cc:1528-1532) instead of nested maps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multiview_tpu.geometry import pose as pose_mod
+from multiview_tpu.geometry import triangulation as tri_mod
+from multiview_tpu.geometry import distortion as dist_mod
+from multiview_tpu.solver.lm import levenberg_marquardt
+from multiview_tpu.calib import problem as prob
+
+
+# ----------------------------------------------------------------------------
+# Track table: padded [P, V] view of the flat observation tensors
+# ----------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackTable:
+    """Maps each track (pid) to its observations in the concatenated global
+    observation ordering (pixel obs of sensor 0, then sensor 1, ...).
+
+    track_obs: [P, V] int32 indices into the global obs arrays (-1 = pad)
+    track_valid: [P, V] bool
+    """
+
+    track_obs: np.ndarray
+    track_valid: np.ndarray
+    sensor_offsets: Tuple[int, ...]  # start of each sensor's block in global order
+
+    @property
+    def num_points(self) -> int:
+        return self.track_obs.shape[0]
+
+    @property
+    def max_views(self) -> int:
+        return self.track_obs.shape[1]
+
+
+def build_track_table(observations: prob.Observations, num_points: int) -> TrackTable:
+    """Host-side: group observation rows by point id into a padded table."""
+    per_point: List[List[int]] = [[] for _ in range(num_points)]
+    offset = 0
+    offsets = []
+    for obs in observations.pixels:
+        offsets.append(offset)
+        pidx = np.asarray(obs.point_idx)
+        for row, pid in enumerate(pidx):
+            per_point[int(pid)].append(offset + row)
+        offset += len(pidx)
+    max_views = max(1, max(len(v) for v in per_point))
+    track_obs = np.full((num_points, max_views), -1, np.int32)
+    track_valid = np.zeros((num_points, max_views), bool)
+    for pid, rows in enumerate(per_point):
+        track_obs[pid, :len(rows)] = rows
+        track_valid[pid, :len(rows)] = True
+    return TrackTable(track_obs, track_valid, tuple(offsets))
+
+
+# ----------------------------------------------------------------------------
+# Global (concatenated) per-observation quantities
+# ----------------------------------------------------------------------------
+
+
+def _global_w2c(state: prob.RigState, observations: prob.Observations):
+    parts = []
+    for obs in observations.pixels:
+        parts.append(prob._world_to_cam_for(
+            state, obs.sensor, obs.beg_idx, obs.end_idx, obs.dt_cam, obs.dt_bracket))
+    return jnp.concatenate(parts, axis=0)
+
+
+def _global_undist_pix(state: prob.RigState, observations: prob.Observations,
+                       models: Sequence[str]):
+    """Measured pixels converted DISTORTED -> UNDISTORTED_C under current
+    intrinsics (multiViewTriangulation's per-ray prep,
+    interest_point.cc:673-680)."""
+    parts = []
+    for obs in observations.pixels:
+        s = obs.sensor
+        focal2 = jnp.stack([state.focal[s], state.focal[s]])
+        und = dist_mod.undistort_centered(
+            models[s], state.dist[s], obs.pix - obs.dist_half_size,
+            focal2, state.optical_center[s], obs.dist_half_size)
+        parts.append(und)
+    return jnp.concatenate(parts, axis=0)
+
+
+def _global_mask(observations: prob.Observations) -> jnp.ndarray:
+    return jnp.concatenate([obs.mask for obs in observations.pixels])
+
+
+def _global_focal(state: prob.RigState, observations: prob.Observations):
+    parts = []
+    for obs in observations.pixels:
+        parts.append(jnp.full(len(obs), state.focal[obs.sensor], state.dtype))
+    return jnp.concatenate(parts)
+
+
+def _scatter_mask_updates(observations: prob.Observations,
+                          new_global_mask: np.ndarray) -> prob.Observations:
+    """Split a global mask back into per-sensor PixelObs masks (monotone AND)."""
+    out = []
+    off = 0
+    for obs in observations.pixels:
+        n = len(obs)
+        merged = np.asarray(obs.mask) & new_global_mask[off:off + n]
+        out.append(dataclasses.replace(obs, mask=jnp.asarray(merged)))
+        off += n
+    return dataclasses.replace(observations, pixels=tuple(out))
+
+
+# ----------------------------------------------------------------------------
+# Triangulation pass
+# ----------------------------------------------------------------------------
+
+
+def retriangulate(state: prob.RigState, observations: prob.Observations,
+                  models: Sequence[str], table: TrackTable,
+                  tri_iters: int = 3):
+    """Triangulate every track from its inlier observations.
+
+    Returns (points [P,3], track_ok [P]). Tracks with <2 inliers or a
+    non-finite solve get track_ok=False — the caller must mark all their
+    features as outliers (multiViewTriangulation semantics,
+    interest_point.cc:688-716).
+    """
+    w2c = _global_w2c(state, observations)          # [N,7]
+    und = _global_undist_pix(state, observations, models)  # [N,2]
+    mask = _global_mask(observations)               # [N]
+    focal = _global_focal(state, observations)      # [N]
+    P = tri_mod.projection_matrix(focal, w2c)       # [N,3,4]
+
+    idx = jnp.asarray(np.maximum(table.track_obs, 0))
+    valid = jnp.asarray(table.track_valid) & mask[idx]
+
+    Pt = P[idx]          # [P,V,3,4]
+    pixt = und[idx]      # [P,V,2]
+
+    xyz, _, ok = tri_mod.triangulate_tracks(Pt, pixt, valid, tri_iters)
+    return xyz, ok
+
+
+# ----------------------------------------------------------------------------
+# Outlier gates
+# ----------------------------------------------------------------------------
+
+
+def flag_outliers_by_exclusion_dist(observations: prob.Observations,
+                                    crop_sizes: Dict[int, Tuple[int, int]],
+                                    image_sizes: Dict[int, Tuple[int, int]]
+                                    ) -> prob.Observations:
+    """Image-border / crop-window gate (flagOutlierByExclusionDist,
+    rig_calibrator.cc:1003-1039)."""
+    out = []
+    for obs in observations.pixels:
+        size = np.asarray(image_sizes[obs.sensor], float)
+        crop = np.asarray(crop_sizes[obs.sensor], float)
+        pix = np.asarray(obs.pix)
+        good = np.all(np.abs(pix - size / 2.0) <= crop / 2.0, axis=-1)
+        out.append(dataclasses.replace(obs, mask=jnp.asarray(np.asarray(obs.mask) & good)))
+    return dataclasses.replace(observations, pixels=tuple(out))
+
+
+def reprojection_errors(state: prob.RigState, observations: prob.Observations,
+                        models: Sequence[str], opts: prob.BAOptions) -> jnp.ndarray:
+    """Raw (non-robust) per-observation reprojection error norms, global order."""
+    parts = []
+    for obs in observations.pixels:
+        r = prob.pixel_residuals(state, obs, models[obs.sensor], opts, robust=False)
+        parts.append(jnp.linalg.norm(r, axis=-1))
+    return jnp.concatenate(parts)
+
+
+def flag_outliers(state: prob.RigState, observations: prob.Observations,
+                  models: Sequence[str], table: TrackTable, opts: prob.BAOptions,
+                  min_triangulation_angle: float, max_reprojection_error: float,
+                  verbose: bool = True) -> prob.Observations:
+    """Triangulation-angle gate (whole track) then reprojection gate
+    (per feature), in that order (flagOutliersByTriAngleAndReprojErr,
+    rig_calibrator.cc:1045-1154)."""
+    w2c = _global_w2c(state, observations)
+    mask = np.asarray(_global_mask(observations))
+
+    idx = jnp.asarray(np.maximum(table.track_obs, 0))
+    valid = jnp.asarray(table.track_valid) & jnp.asarray(mask)[idx]
+
+    # angle gate
+    poses_t = w2c[idx]                                      # [P,V,7]
+    angles = jax.vmap(tri_mod.convergence_angles)(poses_t, state.points, valid)
+    bad_track = np.asarray(angles) < min_triangulation_angle  # [P]
+
+    n_before = int(mask.sum())
+    track_of_obs = np.full(mask.shape[0], -1, np.int64)
+    flat_idx = table.track_obs.ravel()
+    flat_pid = np.repeat(np.arange(table.num_points), table.max_views)
+    sel = flat_idx >= 0
+    track_of_obs[flat_idx[sel]] = flat_pid[sel]
+    angle_kill = bad_track[np.maximum(track_of_obs, 0)] & (track_of_obs >= 0)
+    mask_after_angle = mask & ~angle_kill
+    n_angle = n_before - int(mask_after_angle.sum())
+
+    # reprojection gate (NaNs never pass, same comparison direction)
+    errs = np.asarray(reprojection_errors(state, observations, models, opts))
+    good = errs <= max_reprojection_error
+    new_mask = mask_after_angle & good
+    n_reproj = int(mask_after_angle.sum()) - int(new_mask.sum())
+
+    if verbose and n_before > 0:
+        print(f"Removed {n_angle} outlier features with small angle of convergence, "
+              f"out of {n_before} ({100.0 * n_angle / max(n_before,1):.4g} %)")
+        print(f"Removed {n_reproj} outlier features using reprojection error, out of "
+              f"{int(mask_after_angle.sum())} "
+              f"({100.0 * n_reproj / max(int(mask_after_angle.sum()),1):.4g} %)")
+
+    return _scatter_mask_updates(observations, new_mask)
+
+
+# ----------------------------------------------------------------------------
+# Residual statistics (the reference's printed regression signal)
+# ----------------------------------------------------------------------------
+
+
+def residual_stats(state: prob.RigState, observations: prob.Observations,
+                   models: Sequence[str], opts: prob.BAOptions,
+                   sensor_names: Optional[Sequence[str]] = None,
+                   tag: str = "") -> Dict[str, np.ndarray]:
+    """25/50/75/100th percentile |residual| per residual class, inliers only
+    (calc_residuals_stats, rig_calibrator.cc:753-789). Depth/mesh residuals
+    are reported divided by their weight (residual_scales convention)."""
+    S = state.num_sensors
+    if sensor_names is None:
+        sensor_names = [f"cam{i}" for i in range(S)]
+    groups: Dict[str, np.ndarray] = {}
+
+    def add(name, vals, mask):
+        vals = np.abs(np.asarray(vals))[np.asarray(mask)]
+        if name in groups:
+            groups[name] = np.concatenate([groups[name], vals.ravel()])
+        else:
+            groups[name] = vals.ravel()
+
+    for obs in observations.pixels:
+        r = prob.pixel_residuals(state, obs, models[obs.sensor], opts, robust=False)
+        add(f"{sensor_names[obs.sensor]}_pix_x", r[:, 0], obs.mask)
+        add(f"{sensor_names[obs.sensor]}_pix_y", r[:, 1], obs.mask)
+    for obs in observations.depths:
+        if opts.depth_tri_weight > 0:
+            r = prob.depth_tri_residuals(state, obs, opts, robust=False)
+            r = r / opts.depth_tri_weight
+            for i, ax in enumerate("xyz"):
+                add(f"depth_tri_{ax}_m", r[:, i], obs.mask)
+        if obs.mesh_xyz is not None and opts.depth_mesh_weight > 0:
+            r = prob.depth_mesh_residuals(state, obs, opts, robust=False)
+            r = r / opts.depth_mesh_weight
+            for i, ax in enumerate("xyz"):
+                add(f"depth_mesh_{ax}_m", r[:, i], obs.mask)
+
+    stats = {}
+    for name in sorted(groups):
+        vals = np.sort(groups[name])
+        n = len(vals)
+        if n == 0:
+            stats[name] = np.array([np.nan] * 4)
+            continue
+        stats[name] = np.array([vals[int(0.25 * n)], vals[int(0.50 * n)],
+                                vals[int(0.75 * n)], vals[n - 1]])
+    if tag:
+        print(f"The 25, 50, 75, and 100th percentile residual stats {tag}")
+        for name, q in stats.items():
+            n = len(groups[name])
+            print(f"{name}: {q[0]:.5g} {q[1]:.5g} {q[2]:.5g} {q[3]:.5g} ({n} residuals)")
+    return stats
+
+
+# ----------------------------------------------------------------------------
+# The multi-pass driver
+# ----------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class CalibratorResult:
+    state: prob.RigState
+    observations: prob.Observations
+    stats_before: Dict[str, np.ndarray]
+    stats_after: Dict[str, np.ndarray]
+    lm_results: List
+
+
+def optimize_rig(
+    state: prob.RigState,
+    observations: prob.Observations,
+    models: Sequence[str],
+    float_spec: prob.FloatSpec,
+    opts: prob.BAOptions = prob.BAOptions(),
+    num_passes: int = 2,           # FLAGS_calibrator_num_passes
+    num_iterations: int = 20,      # FLAGS_num_iterations
+    min_triangulation_angle: float = 0.5,
+    max_reprojection_error: float = 25.0,
+    parameter_tolerance: float = 1e-12,
+    timestamp_offset_bounds: Optional[np.ndarray] = None,  # [S,2] lo/hi
+    sensor_names: Optional[Sequence[str]] = None,
+    verbose: bool = False,
+) -> CalibratorResult:
+    """The reference's per-pass loop (rig_calibrator.cc:1550-1990), dense-LM
+    backend. Points are re-triangulated at the start of each pass; the tri
+    prior (when tri_weight>0) anchors to the fresh triangulation."""
+    table = build_track_table(observations, state.points.shape[0])
+    mask_vec = prob.build_mask(state, float_spec, no_rig=opts.no_rig)
+
+    lower = upper = None
+    if timestamp_offset_bounds is not None and float_spec.timestamp_offsets:
+        n = prob.pack_state(state).shape[0]
+        lower = np.full(n, -np.inf)
+        upper = np.full(n, np.inf)
+        R = state.world_to_ref.size
+        Sg = state.ref_to_cam.size
+        off0 = R + Sg
+        S = state.num_sensors
+        lower[off0:off0 + S] = timestamp_offset_bounds[:, 0]
+        upper[off0:off0 + S] = timestamp_offset_bounds[:, 1]
+        lower = jnp.asarray(lower)
+        upper = jnp.asarray(upper)
+
+    stats_before = None
+    lm_results = []
+
+    for pass_i in range(num_passes):
+        if verbose:
+            print(f"\nOptimization pass {pass_i + 1} / {num_passes}")
+
+        # triangulate with current cameras; kill tracks that fail
+        xyz, ok = retriangulate(state, observations, models, table)
+        state = dataclasses.replace(state, points=xyz)
+        bad = ~np.asarray(ok)
+        if bad.any():
+            gmask = np.asarray(_global_mask(observations)).copy()
+            track_rows = table.track_obs[bad]
+            rows = track_rows[track_rows >= 0]
+            gmask[rows] = False
+            observations = _scatter_mask_updates(observations, gmask)
+
+        obs_now = observations
+        if opts.tri_weight > 0.0:
+            tri_prior = prob.XyzPriorObs(
+                ref_xyz=xyz, point_idx=jnp.arange(xyz.shape[0]),
+                mask=jnp.asarray(np.asarray(ok)))
+            obs_now = dataclasses.replace(observations, tri_prior=tri_prior)
+
+        template = state
+
+        def residual_fn(vec):
+            st = prob.unpack_state(vec, template)
+            return prob.all_residuals(st, obs_now, models, opts)
+
+        if pass_i == 0:
+            stats_before = residual_stats(state, obs_now, models, opts, sensor_names,
+                                          tag="before opt" if verbose else "")
+
+        res = levenberg_marquardt(
+            residual_fn, prob.pack_state(state),
+            max_iterations=num_iterations,
+            parameter_tolerance=parameter_tolerance,
+            mask=jnp.asarray(mask_vec), lower=lower, upper=upper)
+        lm_results.append(res)
+        state = prob.unpack_state(res.x, template)
+
+        observations = flag_outliers(
+            state, observations, models, table, opts,
+            min_triangulation_angle, max_reprojection_error, verbose=verbose)
+
+    stats_after = residual_stats(state, observations, models, opts, sensor_names,
+                                 tag="after opt" if verbose else "")
+    return CalibratorResult(state, observations, stats_before, stats_after, lm_results)

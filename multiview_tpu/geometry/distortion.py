@@ -171,9 +171,10 @@ def distort_centered(model: str, coeffs, undist_c, focal, optical_offset, dist_h
         precalc1 = 1.0 / c0
         precalc2 = 2.0 * jnp.tan(c0 / 2.0)
         norm = undist_c / focal
-        ru = jnp.linalg.norm(norm, axis=-1)
+        # sqrt has an infinite gradient at 0; clamp inside (center pixel case)
+        ru = jnp.sqrt(jnp.maximum(jnp.sum(norm * norm, axis=-1), 1e-24))
         rd = jnp.arctan(ru * precalc2) * precalc1
-        conv = jnp.where(ru > 1e-5, rd / jnp.maximum(ru, 1e-30), 1.0)
+        conv = jnp.where(ru > 1e-5, rd / ru, 1.0)
         return (optical_offset - dist_half_size) + conv[..., None] * norm * focal
 
     if model == "tsai":
@@ -221,9 +222,9 @@ def undistort_centered(model: str, coeffs, dist_c, focal, optical_offset, dist_h
         c0 = coeffs[..., 0]
         precalc2 = 2.0 * jnp.tan(c0 / 2.0)
         norm = (dist_c - (optical_offset - dist_half_size)) / focal
-        rd = jnp.linalg.norm(norm, axis=-1)
+        rd = jnp.sqrt(jnp.maximum(jnp.sum(norm * norm, axis=-1), 1e-24))
         ru = jnp.tan(rd * c0) / precalc2
-        conv = jnp.where(rd > 1e-5, ru / jnp.maximum(rd, 1e-30), 1.0)
+        conv = jnp.where(rd > 1e-5, ru / rd, 1.0)
         return conv[..., None] * norm * focal
 
     if model == "tsai":

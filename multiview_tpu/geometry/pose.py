@@ -129,13 +129,18 @@ def quat_slerp(q0, q1, alpha):
     """
     dot = jnp.sum(q0 * q1, axis=-1, keepdims=True)
     q1 = jnp.where(dot < 0.0, -q1, q1)
-    dot = jnp.abs(dot)
-    dot = jnp.clip(dot, -1.0, 1.0)
+    dot = jnp.clip(jnp.abs(dot), 0.0, 1.0)
 
-    theta = jnp.arccos(jnp.clip(dot, 0.0, 1.0))
+    # Near-parallel quaternions fall back to lerp. The arccos gradient blows
+    # up as dot -> 1, so the unselected branch must see a safe dot (the
+    # where-NaN autodiff pitfall). The threshold must be representable in the
+    # working dtype: in f32, 1 - 1e-9 rounds to 1.0 and the guard would never
+    # fire, leaving a 0/0 at exactly-parallel quaternions.
+    eps = 16.0 * jnp.finfo(q0.dtype).eps
+    near = dot > 1.0 - eps
+    dot_safe = jnp.where(near, 0.0, dot)
+    theta = jnp.arccos(dot_safe)
     sin_theta = jnp.sin(theta)
-    eps = jnp.asarray(1e-7, q0.dtype)
-    near = sin_theta < eps
     safe_sin = jnp.where(near, 1.0, sin_theta)
     # alpha: scalar or batch matching q's leading dims; lift to [...,1]
     a = jnp.asarray(alpha, q0.dtype)[..., None]
