@@ -1,0 +1,86 @@
+"""Benchmark: BA solver throughput on the current default JAX device.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: Schur-LM bundle-adjustment iterations/second on a synthetic rig
+scene (~40k pixel observations, Tsai distortion, poses+intrinsics+points
+floated). Each LM iteration = residual eval + linearize + exact block
+Jacobians (Hpp, Jacobi diag) + Schur-CG solve + backsubstitution + step
+accept logic — the full cost of one Ceres ITERATIVE_SCHUR iteration, which
+is the reference's hot loop (rig_calibrator.cc:1909-1919, default budget 20
+iterations x 2 passes with numeric-diff Jacobians on 16 CPU threads).
+
+vs_baseline: ratio against BASELINE_ITERS_PER_SEC, a nominal estimate of the
+reference's Ceres iteration rate on a same-size problem on its default
+16-thread CPU setup (the reference publishes no numbers — BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+# Nominal reference throughput: Ceres ITERATIVE_SCHUR with *numeric-diff*
+# dynamic cost functions (the reference's setup) on ~40k residuals/~27k
+# params is of order a few iterations per second on 16 CPU threads.
+BASELINE_ITERS_PER_SEC = 5.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from multiview_tpu.calib import problem as prob
+    from multiview_tpu.solver import schur
+    from multiview_tpu.utils import synthetic as syn
+
+    dtype = jnp.float32
+
+    # ~64 images x ~600 visible points/image -> ~40k observations
+    scene = syn.make_cube_scene(n_images=64, n_per_face=10,
+                                dist_coeffs=(-0.1, 0.02, 1e-4, -1e-4),
+                                pix_noise=0.5, dtype=dtype)
+    n_obs = sum(len(o) for o in scene.observations.pixels)
+
+    state0 = syn.perturb_state(scene.true_state, pose_rot=0.01, pose_trans=0.02,
+                               point_sigma=0.02)
+    cam_mask = prob.build_mask(state0, prob.FloatSpec(cam_poses=True, focal=(0,),
+                                                      optical_center=(0,),
+                                                      distortion=(0,)),
+                               no_rig=True, include_points=False)
+
+    ITERS = 10
+    solver = jax.jit(schur.make_schur_solver(
+        state0, scene.observations, scene.models, prob.BAOptions(no_rig=True),
+        cam_mask, max_iterations=ITERS, cg_iterations=30, cg_tolerance=0.0))
+
+    cam0 = prob.pack_state(state0, include_points=False)
+    pts0 = state0.points
+
+    # compile
+    res = solver(cam0, pts0)
+    jax.block_until_ready(res.cost)
+
+    # timed runs
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = solver(cam0, pts0)
+        jax.block_until_ready(res.cost)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    iters = int(res.iterations)
+    iters_per_sec = iters / dt
+
+    print(json.dumps({
+        "metric": "ba_schur_lm_iters_per_sec",
+        "value": round(iters_per_sec, 3),
+        "unit": f"iters/s ({n_obs} obs, {cam0.shape[0]}+{pts0.size} params, "
+                f"{jax.devices()[0].platform})",
+        "vs_baseline": round(iters_per_sec / BASELINE_ITERS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

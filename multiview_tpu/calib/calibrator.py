@@ -319,13 +319,27 @@ def optimize_rig(
     parameter_tolerance: float = 1e-12,
     timestamp_offset_bounds: Optional[np.ndarray] = None,  # [S,2] lo/hi
     sensor_names: Optional[Sequence[str]] = None,
+    backend: str = "auto",   # "schur" | "dense" | "auto"
+    cg_iterations: int = 60,
     verbose: bool = False,
 ) -> CalibratorResult:
-    """The reference's per-pass loop (rig_calibrator.cc:1550-1990), dense-LM
-    backend. Points are re-triangulated at the start of each pass; the tri
-    prior (when tri_weight>0) anchors to the fresh triangulation."""
+    """The reference's per-pass loop (rig_calibrator.cc:1550-1990).
+
+    Points are re-triangulated at the start of each pass; the tri prior
+    (when tri_weight>0) anchors to the fresh triangulation. Backend "schur"
+    (default when no depth constraints yet) runs the matrix-free
+    Schur-complement LM — the ITERATIVE_SCHUR analogue; "dense" runs the
+    jacrev LM."""
+    from multiview_tpu.solver import schur as schur_mod
+
+    if backend == "auto":
+        backend = "dense" if observations.depths else "schur"
+
     table = build_track_table(observations, state.points.shape[0])
     mask_vec = prob.build_mask(state, float_spec, no_rig=opts.no_rig)
+    cam_mask_vec = prob.build_mask(state, float_spec, no_rig=opts.no_rig,
+                                   include_points=False)
+    schur_solver = None
 
     lower = upper = None
     if timestamp_offset_bounds is not None and float_spec.timestamp_offsets:
@@ -368,21 +382,38 @@ def optimize_rig(
 
         template = state
 
-        def residual_fn(vec):
-            st = prob.unpack_state(vec, template)
-            return prob.all_residuals(st, obs_now, models, opts)
-
         if pass_i == 0:
             stats_before = residual_stats(state, obs_now, models, opts, sensor_names,
                                           tag="before opt" if verbose else "")
 
-        res = levenberg_marquardt(
-            residual_fn, prob.pack_state(state),
-            max_iterations=num_iterations,
-            parameter_tolerance=parameter_tolerance,
-            mask=jnp.asarray(mask_vec), lower=lower, upper=upper)
-        lm_results.append(res)
-        state = prob.unpack_state(res.x, template)
+        if backend == "schur":
+            if schur_solver is None:
+                lo_c = up_c = None
+                if lower is not None:
+                    nc = prob.pack_state(state, include_points=False).shape[0]
+                    lo_c, up_c = lower[:nc], upper[:nc]
+                schur_solver = jax.jit(schur_mod.make_schur_solver(
+                    template, obs_now, models, opts, cam_mask_vec,
+                    max_iterations=num_iterations, cg_iterations=cg_iterations,
+                    lower=lo_c, upper=up_c))
+            res = schur_solver(prob.pack_state(state, include_points=False),
+                               state.points, obs_now)
+            lm_results.append(res)
+            state = dataclasses.replace(
+                prob.unpack_state(res.cam, template, include_points=False),
+                points=res.points)
+        else:
+            def residual_fn(vec):
+                st = prob.unpack_state(vec, template)
+                return prob.all_residuals(st, obs_now, models, opts)
+
+            res = levenberg_marquardt(
+                residual_fn, prob.pack_state(state),
+                max_iterations=num_iterations,
+                parameter_tolerance=parameter_tolerance,
+                mask=jnp.asarray(mask_vec), lower=lower, upper=upper)
+            lm_results.append(res)
+            state = prob.unpack_state(res.x, template)
 
         observations = flag_outliers(
             state, observations, models, table, opts,

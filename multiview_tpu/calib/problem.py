@@ -159,6 +159,7 @@ class BAOptions:
     no_rig: bool = False
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class Observations:
     """All observation tensors of a problem (tuples are per-sensor)."""

@@ -1,0 +1,90 @@
+"""Device-mesh sharding of BA observation tensors.
+
+The reference is single-node shared-memory (SURVEY.md 2.3); here keyframe
+observations are sharded across TPU chips along the observation axis of every
+per-observation tensor, the (small) state is replicated, and XLA/GSPMD
+inserts the psum/all-gather collectives for the JᵀJ and gradient reductions
+over ICI. This follows the annotate-shardings-and-let-XLA-partition recipe
+rather than hand-written communication.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from multiview_tpu.calib import problem as prob
+
+OBS_AXIS = "obs"
+
+
+def make_mesh(devices: Optional[Sequence] = None, axis: str = OBS_AXIS) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def _pad_rows(arr: np.ndarray, n: int, fill=0):
+    pad = n - arr.shape[0]
+    if pad == 0:
+        return arr
+    pad_block = np.full((pad,) + arr.shape[1:], fill, dtype=arr.dtype)
+    return np.concatenate([arr, pad_block])
+
+
+def pad_pixel_obs(obs: prob.PixelObs, multiple: int) -> prob.PixelObs:
+    """Pad observation rows to a multiple of the device count; padded rows are
+    masked out so they contribute zero residuals."""
+    n = len(obs)
+    n_pad = -(-n // multiple) * multiple
+    if n_pad == n:
+        return obs
+    return prob.PixelObs(
+        pix=jnp.asarray(_pad_rows(np.asarray(obs.pix), n_pad)),
+        beg_idx=jnp.asarray(_pad_rows(np.asarray(obs.beg_idx), n_pad)),
+        end_idx=jnp.asarray(_pad_rows(np.asarray(obs.end_idx), n_pad)),
+        point_idx=jnp.asarray(_pad_rows(np.asarray(obs.point_idx), n_pad)),
+        dt_cam=jnp.asarray(_pad_rows(np.asarray(obs.dt_cam), n_pad)),
+        dt_bracket=jnp.asarray(_pad_rows(np.asarray(obs.dt_bracket), n_pad)),
+        mask=jnp.asarray(_pad_rows(np.asarray(obs.mask), n_pad, fill=False)),
+        dist_half_size=obs.dist_half_size,
+        sensor=obs.sensor)
+
+
+def shard_pixel_obs(obs: prob.PixelObs, mesh: Mesh) -> prob.PixelObs:
+    """Place each per-row tensor sharded along the obs axis; the per-sensor
+    dist_half_size is replicated."""
+    n_dev = mesh.devices.size
+    obs = pad_pixel_obs(obs, n_dev)
+    row_sharding = NamedSharding(mesh, P(OBS_AXIS))
+    rep = NamedSharding(mesh, P())
+
+    def place(x, sharding):
+        return jax.device_put(x, sharding)
+
+    return prob.PixelObs(
+        pix=place(obs.pix, row_sharding),
+        beg_idx=place(obs.beg_idx, row_sharding),
+        end_idx=place(obs.end_idx, row_sharding),
+        point_idx=place(obs.point_idx, row_sharding),
+        dt_cam=place(obs.dt_cam, row_sharding),
+        dt_bracket=place(obs.dt_bracket, row_sharding),
+        mask=place(obs.mask, row_sharding),
+        dist_half_size=place(obs.dist_half_size, rep),
+        sensor=obs.sensor)
+
+
+def shard_observations(observations: prob.Observations, mesh: Mesh) -> prob.Observations:
+    return dataclasses.replace(
+        observations,
+        pixels=tuple(shard_pixel_obs(o, mesh) for o in observations.pixels))
+
+
+def replicate(tree, mesh: Mesh):
+    rep = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), tree)

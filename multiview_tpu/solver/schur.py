@@ -1,0 +1,397 @@
+"""Matrix-free Schur-complement Levenberg-Marquardt for bundle adjustment.
+
+The TPU-native counterpart of Ceres' ITERATIVE_SCHUR + SCHUR_JACOBI (the
+reference's solver choice, `/root/reference/rig_calibrator/bin/rig_calibrator.cc:1909-1919`):
+structure points are eliminated exactly, and the reduced camera system is
+solved by preconditioned CG — but no sparse matrix is ever assembled.
+
+How each piece maps to JAX:
+
+- J products: ``jax.linearize`` of the residual function at (cam, points)
+  gives J·x; its transpose gives Jᵀ·r. A vjp w.r.t. the points array
+  returns the per-point-accumulated gradient [P,3] directly — autodiff does
+  the segment-sum that Ceres does by hand.
+- Point blocks Hpp [P,3,3] and the exact camera Jacobi diagonal come from
+  per-observation block Jacobians: one vmapped ``jacfwd`` over rows of each
+  observation family (static shapes, MXU/VPU friendly) scattered with
+  ``segment_sum``.
+- Schur matvec S·x = Jcᵀ(Jc x) + λDc x − JcᵀJp (Hpp+λDp)⁻¹ JpᵀJc x is four
+  linearized products plus a batched 3x3 solve — all fused by XLA into one
+  compiled while_loop body with zero host round-trips.
+
+Under a sharded observation layout (parallel/sharding.py) every reduction
+(vjp accumulations, segment sums, CG dot products) lowers to psum/all-reduce
+collectives over the device mesh, which is exactly the distributed
+Schur-complement BA design from SURVEY.md 2.3.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from multiview_tpu.geometry import pose as pose_mod
+from multiview_tpu.geometry import distortion as dist_mod
+from multiview_tpu.solver import losses
+from multiview_tpu.calib import problem as prob
+
+
+# ----------------------------------------------------------------------------
+# Section offsets of the camera-side parameter vector (pack_state order,
+# points excluded)
+# ----------------------------------------------------------------------------
+
+
+class CamLayout(NamedTuple):
+    world_to_ref: int
+    ref_to_cam: int
+    offsets: int
+    focal: int
+    ctr: int
+    dist: Tuple[int, ...]
+    d2i: int
+    dscale: int
+    total: int
+
+
+def cam_layout(template: prob.RigState) -> CamLayout:
+    off = 0
+
+    def sec(n):
+        nonlocal off
+        start = off
+        off += n
+        return start
+
+    w = sec(template.world_to_ref.size)
+    r = sec(template.ref_to_cam.size)
+    o = sec(template.timestamp_offsets.size)
+    f = sec(template.focal.size)
+    c = sec(template.optical_center.size)
+    d = tuple(sec(int(x.size)) for x in template.dist)
+    d2i = sec(template.depth_to_image.size)
+    ds = sec(template.depth_scale.size)
+    return CamLayout(w, r, o, f, c, d, d2i, ds, off)
+
+
+# ----------------------------------------------------------------------------
+# Per-row pixel residual + its block Jacobian (for Hpp and the Jacobi diag)
+# ----------------------------------------------------------------------------
+
+
+def _pixel_row_residual(beg_pose, end_pose, rig, offset, focal, ctr, dist, point,
+                        pix, dt_cam, dt_bracket, mask, dist_half, model: str,
+                        robust_threshold: float):
+    """One observation's robustified residual [2] as an explicit function of
+    the parameter blocks it touches (BracketedCamError semantics)."""
+    w2c = pose_mod.world_to_cam_from_bracket(beg_pose, end_pose, rig, dt_cam,
+                                             dt_bracket, offset)
+    Xc = pose_mod.pose_apply(w2c, point)
+    z = Xc[2]
+    z = jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
+    focal2 = jnp.stack([focal, focal])
+    undist_c = focal2 * (Xc[:2] / z)
+    pred = dist_mod.distort_centered(model, dist, undist_c, focal2, ctr, dist_half)
+    res = pred + dist_half - pix
+    s = jnp.sum(res * res)
+    tiny = 1e-20
+    ratio = losses.rho("cauchy", s, robust_threshold) / jnp.maximum(s, tiny)
+    w = jnp.sqrt(jnp.where(s > tiny, ratio, 1.0))
+    return res * (w * mask)
+
+
+def _pixel_row_blocks(state: prob.RigState, obs: prob.PixelObs, model: str,
+                      opts: prob.BAOptions):
+    """Vmapped block Jacobians of every row: returns
+    (J_cam_blocks [N,2,B], J_pt [N,2,3]) where B = 25 + d (beg7,end7,rig7,
+    offset1,focal1,ctr2,dist d)."""
+    s = obs.sensor
+    d = state.dist[s]
+
+    def row(beg_pose, end_pose, rig, offset, focal, ctr, dist, point,
+            pix, dt_cam, dt_bracket, mask):
+        def f(blocks):
+            bp, ep, rg, of, fo, ct, di, pt = blocks
+            return _pixel_row_residual(
+                bp, ep, rg, of, fo, ct, di, pt, pix, dt_cam, dt_bracket, mask,
+                obs.dist_half_size, model, opts.robust_threshold)
+
+        blocks = (beg_pose, end_pose, rig, offset, focal, ctr, dist, point)
+        jac = jax.jacfwd(f)(blocks)
+        j_cam = jnp.concatenate(
+            [jac[0], jac[1], jac[2], jac[3][:, None], jac[4][:, None], jac[5],
+             jac[6].reshape(2, -1)], axis=-1)
+        return j_cam, jac[7]
+
+    mask_f = obs.mask.astype(state.dtype)
+    return jax.vmap(row, in_axes=(0, 0, None, None, None, None, None, 0, 0, 0, 0, 0))(
+        state.world_to_ref[obs.beg_idx], state.world_to_ref[obs.end_idx],
+        state.ref_to_cam[s], state.timestamp_offsets[s], state.focal[s],
+        state.optical_center[s], d, state.points[obs.point_idx],
+        obs.pix, obs.dt_cam, obs.dt_bracket, mask_f)
+
+
+def _pixel_row_cam_indices(template: prob.RigState, obs: prob.PixelObs,
+                           layout: CamLayout) -> np.ndarray:
+    """[N, B] int32 indices into the camera vector for each row's cam-block
+    Jacobian columns (host-side, static)."""
+    s = obs.sensor
+    beg = np.asarray(obs.beg_idx)
+    end = np.asarray(obs.end_idx)
+    N = len(beg)
+    d = int(template.dist[s].size)
+    cols = []
+    cols.append(layout.world_to_ref + beg[:, None] * 7 + np.arange(7)[None, :])
+    cols.append(layout.world_to_ref + end[:, None] * 7 + np.arange(7)[None, :])
+    cols.append(np.broadcast_to(layout.ref_to_cam + s * 7 + np.arange(7), (N, 7)))
+    cols.append(np.broadcast_to(layout.offsets + s + np.zeros(1, int), (N, 1)))
+    cols.append(np.broadcast_to(layout.focal + s + np.zeros(1, int), (N, 1)))
+    cols.append(np.broadcast_to(layout.ctr + s * 2 + np.arange(2), (N, 2)))
+    if d > 0:
+        cols.append(np.broadcast_to(layout.dist[s] + np.arange(d), (N, d)))
+    else:
+        cols.append(np.zeros((N, 0), int))
+    return np.concatenate(cols, axis=-1).astype(np.int32)
+
+
+# ----------------------------------------------------------------------------
+# The solver
+# ----------------------------------------------------------------------------
+
+
+class SchurLMResult(NamedTuple):
+    cam: jnp.ndarray
+    points: jnp.ndarray
+    cost: jnp.ndarray
+    initial_cost: jnp.ndarray
+    iterations: jnp.ndarray
+    lam: jnp.ndarray
+    cg_iters_total: jnp.ndarray
+
+
+def make_schur_solver(template: prob.RigState, observations: prob.Observations,
+                      models: Sequence[str], opts: prob.BAOptions,
+                      cam_mask: np.ndarray,
+                      max_iterations: int = 20,
+                      cg_iterations: int = 50,
+                      cg_tolerance: float = 1e-8,
+                      lam0: float = 1e-4,
+                      lower: Optional[jnp.ndarray] = None,
+                      upper: Optional[jnp.ndarray] = None):
+    """Build a jitted Schur-LM solve function:
+    (cam_vec0, points0, observations=None) -> result.
+
+    cam_mask: free mask over the camera vector (points are always free).
+    Currently supports pixel and xyz-prior observation families (depth
+    families pending).
+
+    The optional ``observations`` argument at solve time must share the
+    template's index arrays and shapes (only masks/measurements may differ);
+    passing updated masks this way avoids a recompile per outlier pass.
+    """
+    if observations.depths:
+        raise NotImplementedError("Schur backend: depth residuals coming next; "
+                                  "use the dense LM meanwhile")
+
+    layout = cam_layout(template)
+    num_points = template.points.shape[0]
+    cam_free = jnp.asarray(cam_mask.astype(np.float64), template.dtype)
+
+    row_cols = [
+        jnp.asarray(_pixel_row_cam_indices(template, o, layout))
+        for o in observations.pixels
+    ]
+
+    def unpack(cam_vec, points):
+        st = prob.unpack_state(cam_vec, template, include_points=False)
+        return dataclasses.replace(st, points=points)
+
+    def residuals(cam_vec, points, obs):
+        return prob.all_residuals(unpack(cam_vec, points), obs, models, opts)
+
+    def cost_of(cam_vec, points, obs):
+        r = residuals(cam_vec, points, obs)
+        return 0.5 * jnp.sum(r * r)
+
+    def hpp_and_diag(cam_vec, points, obs_all):
+        """Hpp [P,3,3], point diag [P,3], camera diag [C] via row blocks."""
+        st = unpack(cam_vec, points)
+        hpp = jnp.zeros((num_points, 3, 3), template.dtype)
+        cam_diag = jnp.zeros(layout.total, template.dtype)
+        for obs, cols in zip(obs_all.pixels, row_cols):
+            j_cam, j_pt = _pixel_row_blocks(st, obs, models[obs.sensor], opts)
+            hpp = hpp.at[obs.point_idx].add(
+                jnp.einsum("nri,nrj->nij", j_pt, j_pt))
+            # exact diag(Jc^T Jc): sum of squared entries per column
+            contrib = jnp.sum(j_cam * j_cam, axis=1)  # [N,B]
+            cam_diag = cam_diag.at[cols.reshape(-1)].add(contrib.reshape(-1))
+        # xyz priors touch only points
+        for prior, weight, th in _priors(obs_all, opts):
+            # d/dp of robustified weight*(p - ref) has 3x3 block; use jacfwd rows
+            jp = _prior_row_blocks(st, prior, weight, th)
+            hpp = hpp.at[prior.point_idx].add(jnp.einsum("nri,nrj->nij", jp, jp))
+        return hpp, cam_diag
+
+    def _priors(obs, o):
+        out = []
+        if obs.mesh_tri is not None and o.mesh_tri_weight > 0:
+            out.append((obs.mesh_tri, o.mesh_tri_weight, o.robust_threshold))
+        if obs.tri_prior is not None and o.tri_weight > 0:
+            out.append((obs.tri_prior, o.tri_weight, o.tri_robust_threshold))
+        return out
+
+    def _prior_row_blocks(st, prior, weight, th):
+        def row(point, ref, mask):
+            def f(p):
+                res = weight * (p - ref)
+                if th <= 0:
+                    return res * mask
+                s = jnp.sum(res * res)
+                tiny = 1e-20
+                ratio = losses.rho("cauchy", s, th) / jnp.maximum(s, tiny)
+                w = jnp.sqrt(jnp.where(s > tiny, ratio, 1.0))
+                return res * (w * mask)
+            return jax.jacfwd(f)(point)
+        return jax.vmap(row)(st.points[prior.point_idx], prior.ref_xyz,
+                             prior.mask.astype(st.dtype))
+
+    def batched_solve3(Hpp_damped, rhs):
+        """[P,3,3] @ x = rhs [P,3] via explicit 3x3 inverse-free solve."""
+        return jnp.linalg.solve(Hpp_damped, rhs[..., None])[..., 0]
+
+    def project(cam_vec):
+        if lower is not None:
+            cam_vec = jnp.maximum(cam_vec, lower)
+        if upper is not None:
+            cam_vec = jnp.minimum(cam_vec, upper)
+        return cam_vec
+
+    def lm_solve(cam0, points0, obs=None):
+        if obs is None:
+            obs = observations
+        c0 = cost_of(cam0, points0, obs)
+        dtype = cam0.dtype
+
+        class S(NamedTuple):
+            cam: jnp.ndarray
+            points: jnp.ndarray
+            cost: jnp.ndarray
+            lam: jnp.ndarray
+            nu: jnp.ndarray
+            it: jnp.ndarray
+            cg_total: jnp.ndarray
+            done: jnp.ndarray
+
+        def cond(s):
+            return (s.it < max_iterations) & (~s.done)
+
+        def body(s):
+            # linearize once per iteration
+            r, lin = jax.linearize(lambda c, p: residuals(c, p, obs),
+                                   s.cam, s.points)
+            lin_t = jax.linear_transpose(lin, s.cam, s.points)
+
+            def JT(v):
+                gc, gp = lin_t(v)
+                return gc * cam_free, gp
+
+            g_c, g_p = JT(r)
+
+            hpp, cam_diag = hpp_and_diag(s.cam, s.points, obs)
+            cam_diag = jnp.clip(cam_diag, 1e-12, 1e32)
+            pt_diag = jnp.clip(jnp.diagonal(hpp, axis1=-2, axis2=-1), 1e-12, 1e32)
+
+            hpp_damped = hpp + jax.vmap(jnp.diag)(s.lam * pt_diag)
+            # damped camera diagonal; frozen entries pinned to 1 (step 0)
+            dc = s.lam * cam_diag * cam_free + (1.0 - cam_free)
+            precond = 1.0 / (cam_diag * cam_free + dc)
+
+            def schur_mv(x):
+                u = lin(x * cam_free, jnp.zeros_like(s.points))
+                _, v = lin_t(u)
+                w = batched_solve3(hpp_damped, v)
+                z = lin(jnp.zeros_like(s.cam), w)
+                gc, _ = lin_t(u - z)
+                return gc * cam_free + dc * x
+
+            # rhs = -(g_c - E Hpp^-1 g_p)
+            w0 = batched_solve3(hpp_damped, g_p)
+            z0 = lin(jnp.zeros_like(s.cam), w0)
+            gc0, _ = lin_t(z0)
+            rhs = -(g_c - gc0 * cam_free)
+
+            # PCG on the reduced camera system
+            def cg(rhs):
+                x = jnp.zeros_like(rhs)
+                rr = rhs
+                zz = precond * rr
+                p = zz
+                rz = jnp.sum(rr * zz)
+                norm0 = jnp.sum(rhs * rhs)
+
+                def cg_body(carry):
+                    x, rr, p, rz, k = carry
+                    Ap = schur_mv(p)
+                    denom = jnp.sum(p * Ap)
+                    alpha = rz / jnp.where(denom > 0, denom, 1.0)
+                    alpha = jnp.where(denom > 0, alpha, 0.0)
+                    x = x + alpha * p
+                    rr = rr - alpha * Ap
+                    zz = precond * rr
+                    rz_new = jnp.sum(rr * zz)
+                    beta = rz_new / jnp.where(rz > 0, rz, 1.0)
+                    p = zz + beta * p
+                    return x, rr, p, rz_new, k + 1
+
+                def cg_cond(carry):
+                    x, rr, p, rz, k = carry
+                    return (k < cg_iterations) & (jnp.sum(rr * rr) > cg_tolerance ** 2 * norm0)
+
+                x, rr, p, rz, k = jax.lax.while_loop(
+                    cg_cond, cg_body, (x, rr, p, rz, jnp.asarray(0)))
+                return x, k
+
+            dc_step, cg_k = cg(rhs)
+
+            # back-substitute points: dp = Hpp^-1 (-g_p - Jp^T Jc dc)
+            u = lin(dc_step * cam_free, jnp.zeros_like(s.points))
+            _, v = lin_t(u)
+            dp = batched_solve3(hpp_damped, -g_p - v)
+
+            cam_new = project(s.cam + dc_step * cam_free)
+            pts_new = s.points + dp
+            new_cost = cost_of(cam_new, pts_new, obs)
+
+            # exact model reduction: -g.d - 0.5|Jd|^2 - 0.5 lam d'Dd
+            step_c = cam_new - s.cam
+            Jd = lin(step_c, dp)
+            pred = -(jnp.sum(step_c * g_c) + jnp.sum(dp * g_p)) \
+                - 0.5 * jnp.sum(Jd * Jd) \
+                - 0.5 * s.lam * (jnp.sum(cam_diag * step_c * step_c)
+                                 + jnp.sum(pt_diag * dp * dp))
+            good = (new_cost < s.cost) & jnp.isfinite(new_cost)
+
+            rho = (s.cost - new_cost) / jnp.maximum(jnp.abs(pred), 1e-30)
+            lam_dec = s.lam * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+            lam_new = jnp.where(good, jnp.maximum(lam_dec, 1e-14), s.lam * s.nu)
+            nu_new = jnp.where(good, jnp.asarray(2.0, dtype), s.nu * 2.0)
+
+            rel_decrease = jnp.abs(s.cost - new_cost) / jnp.maximum(s.cost, 1e-30)
+            done = (good & (rel_decrease < 1e-10)) | (s.lam > 1e12)
+
+            return S(jnp.where(good, cam_new, s.cam),
+                     jnp.where(good, pts_new, s.points),
+                     jnp.where(good, new_cost, s.cost),
+                     lam_new, nu_new, s.it + 1, s.cg_total + cg_k, done)
+
+        init = S(cam0, points0, c0, jnp.asarray(lam0, dtype), jnp.asarray(2.0, dtype),
+                 jnp.asarray(0), jnp.asarray(0), jnp.asarray(False))
+        out = jax.lax.while_loop(cond, body, init)
+        return SchurLMResult(out.cam, out.points, out.cost, c0, out.it, out.lam,
+                             out.cg_total)
+
+    return lm_solve
