@@ -167,3 +167,175 @@ def perturb_state(state: prob.RigState, pose_rot: float = 0.01, pose_trans: floa
     new_points = state.points + jnp.asarray(
         rng.normal(size=state.points.shape) * point_sigma, state.dtype)
     return dataclasses.replace(state, world_to_ref=new_poses, points=new_points)
+
+
+# ----------------------------------------------------------------------------
+# Rig scenes (BASELINE config 2): multi-sensor, bracketed timestamps
+# ----------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class RigScene:
+    """A multi-sensor rig BA scene with bracketed timestamps."""
+
+    true_state: prob.RigState
+    observations: prob.Observations
+    models: Tuple[str, ...]
+    image_sizes: Tuple[Tuple[int, int], ...]
+    ref_timestamps: np.ndarray
+    cams: list                   # List[CameraEntry]
+    n_points: int
+
+
+def smooth_ring_pose(t: float, period: float = 16.0, radius: float = 3.0,
+                     height: float = 1.0) -> np.ndarray:
+    """world->cam pose moving smoothly on a ring, looking at the origin."""
+    a = 2.0 * np.pi * t / period
+    pos = np.array([radius * np.cos(a), radius * np.sin(a),
+                    height + 0.3 * np.sin(a * 2)])
+    return look_at_pose(pos, np.zeros(3))
+
+
+def make_rig_scene(
+    n_ref: int = 10,
+    sensor_specs=None,
+    n_per_face: int = 4,
+    pix_noise: float = 0.0,
+    seed: int = 0,
+    bracket_len: float = 1.5,
+    dtype=jnp.float64,
+) -> RigScene:
+    """Generate a rig scene: a reference sensor at integer timestamps plus
+    non-ref sensors with true timestamp offsets and rig transforms; non-ref
+    poses follow the model exactly (rig * slerp-interp of world_to_ref), so
+    the calibrator can recover the rig to machine precision.
+
+    sensor_specs: list of dicts with keys name, focal, size, dist, offset,
+    rig (pose 7) — index 0 is the reference sensor.
+    """
+    from multiview_tpu.calib import bracketing as br
+
+    rng = np.random.default_rng(seed)
+    if sensor_specs is None:
+        sensor_specs = [
+            dict(name="nav_cam", focal=600.0, size=(1280, 960), dist=(),
+                 offset=0.0, rig=np.array([0, 0, 0, 0, 0, 0, 1.0])),
+            dict(name="haz_cam", focal=250.0, size=(640, 480),
+                 dist=(-0.15, 0.03, 1e-4, -1e-4),
+                 offset=0.3,
+                 rig=np.asarray(pose_mod.make_pose(
+                     jnp.asarray([0.1, 0.02, -0.05]),
+                     pose_mod.quat_exp(jnp.asarray([0.05, -0.03, 0.08]))))),
+            dict(name="sci_cam", focal=900.0, size=(960, 720), dist=(0.9,),
+                 offset=-0.2,
+                 rig=np.asarray(pose_mod.make_pose(
+                     jnp.asarray([-0.08, 0.05, 0.03]),
+                     pose_mod.quat_exp(jnp.asarray([-0.04, 0.06, -0.02]))))),
+        ]
+
+    S = len(sensor_specs)
+    ref_ts = np.arange(n_ref, dtype=float)
+    world_to_ref = np.stack([smooth_ring_pose(t) for t in ref_ts])
+
+    # image streams: ref at ref_ts; sensor s at mid-bracket + offset
+    image_data = [[br.ImageRecord(t, f"{sensor_specs[0]['name']}/{t:.1f}.jpg")
+                   for t in ref_ts]]
+    for s in range(1, S):
+        ts = ref_ts[:-1] + 0.5 + sensor_specs[s]["offset"]
+        image_data.append([br.ImageRecord(t, f"{sensor_specs[s]['name']}/{t:.1f}.jpg")
+                           for t in ts])
+
+    offsets = np.array([spec["offset"] for spec in sensor_specs])
+    cams, min_off, max_off = br.lookup_images(
+        False, ref_ts, image_data, [], offsets, bracket_len=bracket_len)
+
+    pts = cube_points(n_per_face, seed=seed)
+    P = len(pts)
+
+    rig = np.stack([np.asarray(spec["rig"]) for spec in sensor_specs])
+    state = prob.RigState(
+        world_to_ref=jnp.asarray(world_to_ref, dtype),
+        ref_to_cam=jnp.asarray(rig, dtype),
+        timestamp_offsets=jnp.asarray(offsets, dtype),
+        focal=jnp.asarray([spec["focal"] for spec in sensor_specs], dtype),
+        optical_center=jnp.asarray(
+            [[spec["size"][0] / 2.0, spec["size"][1] / 2.0] for spec in sensor_specs],
+            dtype),
+        dist=tuple(jnp.asarray(np.asarray(spec["dist"], float), dtype)
+                   for spec in sensor_specs),
+        depth_to_image=jnp.tile(pose_mod.pose_identity(dtype), (S, 1)),
+        depth_scale=jnp.ones(S, dtype),
+        points=jnp.asarray(pts, dtype),
+    )
+    models = tuple(dist_mod_name(len(spec["dist"])) for spec in sensor_specs)
+
+    # per-sensor observation rows from the bracketed camera entries
+    opts = prob.BAOptions()
+    rows = {s: dict(pix=[], beg=[], end=[], pid=[], dtc=[], dtb=[]) for s in range(S)}
+    for cam in cams:
+        s = cam.camera_type
+        beg, end = cam.beg_ref_index, cam.end_ref_index
+        dt_cam = cam.timestamp - ref_ts[beg]
+        dt_bracket = ref_ts[end] - ref_ts[beg]
+        w2c = pose_mod.world_to_cam_from_bracket(
+            state.world_to_ref[beg], state.world_to_ref[end], state.ref_to_cam[s],
+            jnp.asarray(dt_cam, dtype), jnp.asarray(dt_bracket, dtype),
+            state.timestamp_offsets[s])
+        Xc = np.asarray(pose_mod.pose_apply(w2c, state.points))
+        size = sensor_specs[s]["size"]
+        half = np.asarray(size, float) / 2.0
+        focal2 = jnp.stack([state.focal[s], state.focal[s]])
+        und = focal2 * (jnp.asarray(Xc[:, :2]) / jnp.asarray(Xc[:, 2:3]))
+        from multiview_tpu.geometry import distortion as dist_mod2
+        pred_c = dist_mod2.distort_centered(models[s], state.dist[s], und, focal2,
+                                            state.optical_center[s],
+                                            jnp.asarray(half, dtype))
+        pred = np.asarray(pred_c) + half
+        vis = (Xc[:, 2] > 0.2) & np.all((pred >= 0) & (pred < size), axis=-1)
+        ids = np.nonzero(vis)[0]
+        rows[s]["pix"].append(pred[ids] + pix_noise * rng.normal(size=(len(ids), 2)))
+        rows[s]["beg"].append(np.full(len(ids), beg))
+        rows[s]["end"].append(np.full(len(ids), end))
+        rows[s]["pid"].append(ids)
+        rows[s]["dtc"].append(np.full(len(ids), dt_cam))
+        rows[s]["dtb"].append(np.full(len(ids), dt_bracket))
+
+    pixel_obs = []
+    for s in range(S):
+        if not rows[s]["pix"]:
+            continue
+        half = np.asarray(sensor_specs[s]["size"], float) / 2.0
+        pixel_obs.append(prob.PixelObs(
+            pix=jnp.asarray(np.concatenate(rows[s]["pix"]), dtype),
+            beg_idx=jnp.asarray(np.concatenate(rows[s]["beg"]).astype(np.int32)),
+            end_idx=jnp.asarray(np.concatenate(rows[s]["end"]).astype(np.int32)),
+            point_idx=jnp.asarray(np.concatenate(rows[s]["pid"]).astype(np.int32)),
+            dt_cam=jnp.asarray(np.concatenate(rows[s]["dtc"]), dtype),
+            dt_bracket=jnp.asarray(np.concatenate(rows[s]["dtb"]), dtype),
+            mask=jnp.ones(sum(len(p) for p in rows[s]["pix"]), bool),
+            dist_half_size=jnp.asarray(half, dtype),
+            sensor=s))
+
+    return RigScene(
+        true_state=state,
+        observations=prob.Observations(pixels=tuple(pixel_obs)),
+        models=models,
+        image_sizes=tuple(spec["size"] for spec in sensor_specs),
+        ref_timestamps=ref_ts,
+        cams=cams,
+        n_points=P)
+
+
+def perturb_rig_state(state: prob.RigState, rig_rot: float = 0.02,
+                      rig_trans: float = 0.03, seed: int = 1, **kw) -> prob.RigState:
+    """Perturb rig transforms (non-ref sensors) on top of perturb_state."""
+    out = perturb_state(state, seed=seed, **kw)
+    rng = np.random.default_rng(seed + 100)
+    S = state.ref_to_cam.shape[0]
+    dq = pose_mod.quat_exp(jnp.asarray(rng.normal(size=(S, 3)) * rig_rot, state.dtype))
+    dt = jnp.asarray(rng.normal(size=(S, 3)) * rig_trans, state.dtype)
+    deltas = pose_mod.make_pose(dt, dq)
+    new_rig = pose_mod.pose_compose(deltas, state.ref_to_cam)
+    # sensor 0 stays identity
+    new_rig = new_rig.at[0].set(pose_mod.pose_identity(state.dtype))
+    return dataclasses.replace(out, ref_to_cam=new_rig)
