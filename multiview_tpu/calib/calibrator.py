@@ -333,7 +333,7 @@ def optimize_rig(
     from multiview_tpu.solver import schur as schur_mod
 
     if backend == "auto":
-        backend = "dense" if observations.depths else "schur"
+        backend = "schur"
 
     table = build_track_table(observations, state.points.shape[0])
     mask_vec = prob.build_mask(state, float_spec, no_rig=opts.no_rig)

@@ -1,0 +1,312 @@
+"""Global SfM pose initialization: rotation averaging + position estimation.
+
+The TheiaSfM-replacement (SURVEY.md 2.2): the reference pins Theia's global
+pipeline — ROBUST_L1L2 rotation averaging + least-unsquared-deviation
+position estimation (`/root/reference/rig_calibrator/theia_flags.txt:26-165`)
+— which is re-designed here as batched JAX IRLS solves:
+
+- rotation averaging: spanning-tree init, then iteratively re-weighted
+  Gauss-Newton in the tangent space; all edge residuals
+  log(R_j^-1 R_ij R_i) are computed as one vmapped batch and the normal
+  equations assembled by segment-sum (soft-L1 weights ~ Theia's L1L2).
+- position estimation: cross-product (direction-alignment) linear system
+  over camera centers with IRLS soft-L1 weights (~ LUD), gauge fixed by
+  pinning center 0 and unit mean baseline.
+
+Convention: world->cam poses; an edge (i,j) carries the relative transform
+cam_i -> cam_j: R_ij = R_j R_i^T, and the translation direction of the
+camera-j center seen from i in world coordinates.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from multiview_tpu.geometry import pose as pose_mod
+
+
+class ViewGraph(NamedTuple):
+    """Pairwise relative rotations/directions between views."""
+
+    edges: jnp.ndarray      # [E,2] int32 (i,j)
+    rel_rot: jnp.ndarray    # [E,4] quaternion q_ij: R_ij = R_j R_i^T (xyzw)
+    rel_dir: jnp.ndarray    # [E,3] unit direction of (c_j - c_i) in WORLD frame
+                            # (only used by position estimation; can be zeros)
+    weight: jnp.ndarray     # [E] edge confidence (e.g. inlier counts)
+
+
+def spanning_tree_rotations(graph: ViewGraph, num_views: int,
+                            rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """Initial global rotations by composing relative rotations over a
+    max-weight spanning tree (host-side BFS). With ``rng``, edge priorities
+    are randomized (for multi-tree robust initialization)."""
+    edges = np.asarray(graph.edges)
+    w = np.asarray(graph.weight).astype(float)
+    if rng is not None:
+        w = w * rng.uniform(0.1, 1.0, size=w.shape)
+    order = np.argsort(-w)
+    adj = {}
+    for e in order:
+        i, j = int(edges[e, 0]), int(edges[e, 1])
+        adj.setdefault(i, []).append((j, e, False))
+        adj.setdefault(j, []).append((i, e, True))
+
+    q = np.tile([0.0, 0.0, 0.0, 1.0], (num_views, 1))
+    seen = np.zeros(num_views, bool)
+    seen[0] = True
+    stack = [0]
+    rel = np.asarray(graph.rel_rot)
+    while stack:
+        i = stack.pop()
+        for j, e, flipped in adj.get(i, []):
+            if seen[j]:
+                continue
+            seen[j] = True
+            qij = jnp.asarray(rel[e])
+            if flipped:
+                qij = pose_mod.quat_conj(qij)
+            # R_j = R_ij R_i
+            q[j] = np.asarray(pose_mod.quat_mul(qij, jnp.asarray(q[i])))
+            stack.append(j)
+    if not seen.all():
+        raise ValueError("View graph is disconnected")
+    return q
+
+
+def rotation_averaging(graph: ViewGraph, num_views: int, iterations: int = 30,
+                       loss_scale: float = 0.1, init: Optional[np.ndarray] = None
+                       ) -> jnp.ndarray:
+    """Robust rotation averaging -> global quaternions [V,4] (view 0 pinned).
+
+    IRLS Gauss-Newton in so(3): residual per edge r_e = log(R_j^T R_ij R_i),
+    Jacobian wrt (w_i, w_j) approximated by (R_j^T R_ij, -I) ~ (I, -I) in the
+    well-conditioned near-convergence regime, weights soft-L1 in |r|.
+    """
+    if init is None:
+        init = spanning_tree_rotations(graph, num_views)
+    q = jnp.asarray(init)
+    edges = jnp.asarray(graph.edges)
+    i_idx = edges[:, 0]
+    j_idx = edges[:, 1]
+    rel = jnp.asarray(graph.rel_rot)
+    base_w = jnp.asarray(graph.weight, q.dtype)
+
+    def residuals(q):
+        qi = q[i_idx]
+        qj = q[j_idx]
+        # r = log( R_j^-1 R_ij R_i )
+        r = pose_mod.quat_mul(pose_mod.quat_conj(qj), pose_mod.quat_mul(rel, qi))
+        return pose_mod.quat_log(r)  # [E,3]
+
+    def step(q, _):
+        r = residuals(q)                       # [E,3]
+        nrm = jnp.linalg.norm(r, axis=-1)
+        w = base_w / jnp.sqrt(1.0 + (nrm / loss_scale) ** 2)  # soft-L1
+        # normal equations for unknown increments w_i (per-view 3-vec):
+        # r_e ~ d_i - d_j  (first-order) -> minimize sum w |r + d_i - d_j|^2
+        # solve with a few Jacobi sweeps (diagonal = sum of adjacent weights)
+        denom = jnp.zeros(num_views, q.dtype)
+        denom = denom.at[i_idx].add(w).at[j_idx].add(w)
+        denom = jnp.maximum(denom, 1e-12)
+
+        def jacobi(_, d):
+            # d: [V,3]; update d = (sum_w neighbor terms) / denom
+            rhs = jnp.zeros((num_views, 3), q.dtype)
+            rhs = rhs.at[i_idx].add(w[:, None] * (d[j_idx] - r))
+            rhs = rhs.at[j_idx].add(w[:, None] * (d[i_idx] + r))
+            d = rhs / denom[:, None]
+            return d.at[0].set(0.0)  # gauge: view 0 fixed
+
+        d = jax.lax.fori_loop(0, 12, jacobi, jnp.zeros((num_views, 3), q.dtype))
+        q_new = pose_mod.quat_mul(q, pose_mod.quat_exp(d))
+        q_new = pose_mod.quat_normalize(q_new)
+        return q_new, jnp.sum(w * nrm)
+
+    q, _ = jax.lax.scan(step, q, None, length=iterations)
+    return q
+
+
+def filter_graph_by_rotation(graph: ViewGraph, rotations: jnp.ndarray,
+                             max_deg: float = 10.0) -> ViewGraph:
+    """Drop edges whose relative rotation disagrees with the global solution
+    by more than max_deg — the role of Theia's view-pair filtering
+    (theia_flags.txt post_rotation_filtering / 1DSfM spirit)."""
+    qi = rotations[graph.edges[:, 0]]
+    qj = rotations[graph.edges[:, 1]]
+    r = pose_mod.quat_mul(pose_mod.quat_conj(qj),
+                          pose_mod.quat_mul(graph.rel_rot, qi))
+    err_deg = np.degrees(np.linalg.norm(np.asarray(pose_mod.quat_log(r)), axis=-1))
+    keep = err_deg <= max_deg
+    if keep.sum() < len(keep):
+        keep_idx = np.nonzero(keep)[0]
+        graph = ViewGraph(graph.edges[keep_idx], graph.rel_rot[keep_idx],
+                          graph.rel_dir[keep_idx], graph.weight[keep_idx])
+    return graph
+
+
+def _median_edge_residual(graph: ViewGraph, q) -> float:
+    qi = q[graph.edges[:, 0]]
+    qj = q[graph.edges[:, 1]]
+    r = pose_mod.quat_mul(pose_mod.quat_conj(qj),
+                          pose_mod.quat_mul(graph.rel_rot, qi))
+    return float(np.median(np.linalg.norm(np.asarray(pose_mod.quat_log(r)), axis=-1)))
+
+
+def robust_rotation_averaging(graph: ViewGraph, num_views: int,
+                              num_trees: int = 16, iterations: int = 30,
+                              loss_scale: float = 0.1,
+                              filter_deg: float = 15.0, seed: int = 0
+                              ) -> Tuple[jnp.ndarray, ViewGraph]:
+    """Rotation averaging robust to outlier edges.
+
+    A single outlier edge in the spanning-tree init poisons everything
+    downstream of it, and the IRLS consensus then *keeps* the outlier (the
+    inlier edges look wrong). So: try several randomized spanning trees, run
+    the IRLS from each, keep the solution with the smallest median edge
+    residual (an outlier-immune score), then drop edges inconsistent with it
+    and do a final averaging round. Returns (rotations, filtered graph)."""
+    rng = np.random.default_rng(seed)
+    best_q, best_score = None, np.inf
+    for k in range(num_trees):
+        init = spanning_tree_rotations(graph, num_views,
+                                       rng=None if k == 0 else rng)
+        q = rotation_averaging(graph, num_views, iterations, loss_scale, init=init)
+        score = _median_edge_residual(graph, q)
+        if score < best_score:
+            best_q, best_score = q, score
+
+    filtered = filter_graph_by_rotation(graph, best_q, filter_deg)
+    if filtered.edges.shape[0] < graph.edges.shape[0]:
+        try:
+            init = spanning_tree_rotations(filtered, num_views)
+            q = rotation_averaging(filtered, num_views, iterations, loss_scale,
+                                   init=init)
+            if _median_edge_residual(filtered, q) <= best_score:
+                best_q = q
+            return best_q, filtered
+        except ValueError:
+            pass  # filtering disconnected the graph; keep unfiltered solution
+    return best_q, filtered
+
+
+def position_estimation(graph: ViewGraph, rotations: jnp.ndarray, num_views: int,
+                        irls_rounds: int = 8, loss_scale: float = 0.05
+                        ) -> jnp.ndarray:
+    """Camera centers [V,3] from pairwise world-frame baseline directions.
+
+    The direction constraint with the per-edge scale eliminated is
+    |P_e (c_j - c_i)|^2 with P_e = I - d dᵀ; summed over edges this is a
+    PSD quadratic form whose null space — once translation is removed by
+    pinning c_0 and the graph is parallel-rigid — is exactly the true shape
+    up to scale. So the solution is the smallest eigenvector of the reduced
+    form (one eigh per IRLS round; robust soft-L1 reweighting plays the role
+    of Theia's LUD). Sign fixed by majority agreement with the measured
+    directions.
+    """
+    edges = jnp.asarray(graph.edges)
+    i_idx = edges[:, 0]
+    j_idx = edges[:, 1]
+    d = jnp.asarray(graph.rel_dir)
+    base_w = jnp.asarray(graph.weight, d.dtype)
+    V = num_views
+
+    P = jnp.eye(3, dtype=d.dtype)[None] - jnp.einsum("ei,ej->eij", d, d)  # [E,3,3]
+
+    def solve(w):
+        # assemble M over free coordinates (views 1..V-1): [3(V-1), 3(V-1)]
+        # block contributions: (i,i)+=P, (j,j)+=P, (i,j)-=P, (j,i)-=P
+        M = jnp.zeros((V, V, 3, 3), d.dtype)
+        wP = w[:, None, None] * P
+        M = M.at[i_idx, i_idx].add(wP).at[j_idx, j_idx].add(wP)
+        M = M.at[i_idx, j_idx].add(-wP).at[j_idx, i_idx].add(-wP)
+        Mfull = M.transpose(0, 2, 1, 3).reshape(3 * V, 3 * V)
+        Mred = Mfull[3:, 3:]
+        vals, vecs = jnp.linalg.eigh(Mred)
+        c = jnp.concatenate([jnp.zeros((1, 3), d.dtype),
+                             vecs[:, 0].reshape(V - 1, 3)])
+        return c
+
+    w = base_w
+    c = solve(w)
+    for _ in range(irls_rounds):
+        diff = c[j_idx] - c[i_idx]
+        resid = jnp.einsum("eij,ej->ei", P, diff)
+        nrm = jnp.linalg.norm(resid, axis=-1)
+        # normalize by configuration scale so weights are scale-invariant
+        scale = jnp.maximum(jnp.mean(jnp.linalg.norm(diff, axis=-1)), 1e-12)
+        w = base_w / jnp.sqrt(1.0 + (nrm / (loss_scale * scale)) ** 2)
+        c = solve(w)
+
+    # fix the global sign by majority direction agreement
+    diff = c[j_idx] - c[i_idx]
+    agree = jnp.sum(jnp.sign(jnp.sum(diff * d, axis=-1)) * base_w)
+    c = jnp.where(agree < 0, -c, c)
+    # normalize: mean baseline length 1
+    diff = c[j_idx] - c[i_idx]
+    return c / jnp.maximum(jnp.mean(jnp.linalg.norm(diff, axis=-1)), 1e-12)
+
+
+def global_poses(graph: ViewGraph, num_views: int) -> jnp.ndarray:
+    """Full init: rotations + positions -> world->cam poses [V,7]."""
+    q = rotation_averaging(graph, num_views)
+    c = position_estimation(graph, q, num_views)
+    # world->cam: t = -R c
+    t = -pose_mod.quat_rotate(q, c)
+    return pose_mod.make_pose(t, q)
+
+
+def view_graph_from_matches(pair_data, num_views: int, dtype=jnp.float64) -> ViewGraph:
+    """Build a ViewGraph from per-pair unit-plane correspondences.
+
+    pair_data: {(i,j): (x1 [K,2], x2 [K,2])} normalized (unit-plane) coords.
+    Runs essential RANSAC + decomposition per pair (vmappable sizes vary, so
+    per-pair host loop; each pair's RANSAC is one jitted batch).
+    """
+    from multiview_tpu.sfm import ransac as ransac_mod
+
+    edges, rots, dirs, weights = [], [], [], []
+    for (i, j), (x1, x2) in pair_data.items():
+        res = ransac_mod.ransac_essential(jnp.asarray(x1), jnp.asarray(x2))
+        if int(res.num_inliers) < 16:
+            continue
+        R_ij, t_ij = ransac_mod.decompose_essential(
+            res.model, jnp.asarray(x1), jnp.asarray(x2), res.inliers)
+        q_ij = pose_mod.matrix_to_quat(R_ij)
+        edges.append((i, j))
+        rots.append(np.asarray(q_ij))
+        # direction of c_j - c_i in world: needs global rotations, which we
+        # don't have yet; store the direction in cam-i frame and fix it up in
+        # rel_dir_world() after rotation averaging.
+        # camera-j center in cam-i frame: c_j^(i) = -R_ij^T t_ij
+        cji = -np.asarray(R_ij).T @ np.asarray(t_ij)
+        n = np.linalg.norm(cji)
+        dirs.append(cji / max(n, 1e-12))
+        weights.append(float(res.num_inliers))
+
+    return ViewGraph(
+        edges=jnp.asarray(np.asarray(edges, np.int32)),
+        rel_rot=jnp.asarray(np.stack(rots), dtype),
+        rel_dir=jnp.asarray(np.stack(dirs), dtype),  # cam-i frame!
+        weight=jnp.asarray(np.asarray(weights), dtype))
+
+
+def rel_dir_to_world(graph: ViewGraph, rotations: jnp.ndarray) -> ViewGraph:
+    """Rotate per-edge baseline directions from cam-i frame into world frame
+    using the averaged global rotations: d_world = R_i^T d_cam_i."""
+    qi = rotations[graph.edges[:, 0]]
+    d_world = pose_mod.quat_rotate(pose_mod.quat_conj(qi), graph.rel_dir)
+    return graph._replace(rel_dir=d_world)
+
+
+def run_global_sfm(pair_data, num_views: int, dtype=jnp.float64) -> jnp.ndarray:
+    """pair correspondences -> initial world->cam poses [V,7] (up to scale)."""
+    graph = view_graph_from_matches(pair_data, num_views, dtype)
+    q, graph = robust_rotation_averaging(graph, num_views)
+    graph = rel_dir_to_world(graph, q)
+    c = position_estimation(graph, q, num_views)
+    t = -pose_mod.quat_rotate(q, c)
+    return pose_mod.make_pose(t, q)

@@ -135,6 +135,90 @@ def _pixel_row_blocks(state: prob.RigState, obs: prob.PixelObs, model: str,
         obs.pix, obs.dt_cam, obs.dt_bracket, mask_f)
 
 
+def _depth_row_residual(beg_pose, end_pose, rig, offset, d2i, dscale, point,
+                        depth_xyz, target_xyz, dt_cam, dt_bracket, mask,
+                        weight: float, affine: bool, use_point: bool,
+                        robust_threshold: float):
+    """One depth observation's robustified residual [3].
+
+    use_point=True  -> BracketedDepthError: weight*(X_tri - world(depth_pt))
+    use_point=False -> BracketedDepthMeshError with target_xyz the mesh point.
+    (rig_calibrator.cc:522-705)
+    """
+    w2c = pose_mod.world_to_cam_from_bracket(beg_pose, end_pose, rig, dt_cam,
+                                             dt_bracket, offset)
+    if affine:
+        L = pose_mod.affine_linear(d2i) * dscale
+        t = pose_mod.affine_t(d2i)
+    else:
+        L = pose_mod.quat_to_matrix(pose_mod.pose_q(d2i)) * dscale
+        t = pose_mod.pose_t(d2i)
+    M_cam = L @ depth_xyz + t
+    M_world = pose_mod.pose_apply(pose_mod.pose_inverse(w2c), M_cam)
+    tgt = point if use_point else target_xyz
+    res = weight * (tgt - M_world)
+    s = jnp.sum(res * res)
+    tiny = 1e-20
+    ratio = losses.rho("cauchy", s, robust_threshold) / jnp.maximum(s, tiny)
+    w = jnp.sqrt(jnp.where(s > tiny, ratio, 1.0))
+    return res * (w * mask)
+
+
+def _depth_row_blocks(state: prob.RigState, obs: prob.DepthObs, opts: prob.BAOptions,
+                      mesh_variant: bool):
+    """Vmapped block Jacobians for depth rows: (J_cam [N,3,B], J_pt [N,3,3])
+    with B = 7+7+7 + (7|12) + 1 + 1. For the mesh variant J_pt is zeros."""
+    s = obs.sensor
+    weight = opts.depth_mesh_weight if mesh_variant else opts.depth_tri_weight
+    affine = opts.affine_depth_to_image
+    use_point = not mesh_variant
+    mesh_xyz = obs.mesh_xyz if obs.mesh_xyz is not None else jnp.zeros_like(obs.depth_xyz)
+
+    def row(beg_pose, end_pose, rig, offset, d2i, dscale, point,
+            depth_xyz, target_xyz, dt_cam, dt_bracket, mask):
+        def f(blocks):
+            bp, ep, rg, of, dd, ds, pt = blocks
+            return _depth_row_residual(bp, ep, rg, of, dd, ds, pt, depth_xyz,
+                                       target_xyz, dt_cam, dt_bracket, mask,
+                                       weight, affine, use_point,
+                                       opts.robust_threshold)
+
+        blocks = (beg_pose, end_pose, rig, offset, d2i, dscale, point)
+        jac = jax.jacfwd(f)(blocks)
+        j_cam = jnp.concatenate(
+            [jac[0], jac[1], jac[2], jac[3][:, None], jac[4], jac[5][:, None]],
+            axis=-1)
+        return j_cam, jac[6]
+
+    mask_f = obs.mask.astype(state.dtype)
+    return jax.vmap(row, in_axes=(0, 0, None, None, None, None, 0, 0, 0, 0, 0, 0))(
+        state.world_to_ref[obs.beg_idx], state.world_to_ref[obs.end_idx],
+        state.ref_to_cam[s], state.timestamp_offsets[s],
+        state.depth_to_image[s], state.depth_scale[s],
+        state.points[obs.point_idx], obs.depth_xyz, mesh_xyz,
+        obs.dt_cam, obs.dt_bracket, mask_f)
+
+
+def _depth_row_cam_indices(template: prob.RigState, obs: prob.DepthObs,
+                           layout: CamLayout) -> np.ndarray:
+    """[N, B] indices into the camera vector for depth-row Jacobian columns:
+    beg7, end7, rig7, offset1, d2i(7|12), scale1."""
+    s = obs.sensor
+    beg = np.asarray(obs.beg_idx)
+    end = np.asarray(obs.end_idx)
+    N = len(beg)
+    nd = template.depth_to_image.shape[1]
+    cols = [
+        layout.world_to_ref + beg[:, None] * 7 + np.arange(7)[None, :],
+        layout.world_to_ref + end[:, None] * 7 + np.arange(7)[None, :],
+        np.broadcast_to(layout.ref_to_cam + s * 7 + np.arange(7), (N, 7)),
+        np.broadcast_to(layout.offsets + s + np.zeros(1, int), (N, 1)),
+        np.broadcast_to(layout.d2i + s * nd + np.arange(nd), (N, nd)),
+        np.broadcast_to(layout.dscale + s + np.zeros(1, int), (N, 1)),
+    ]
+    return np.concatenate(cols, axis=-1).astype(np.int32)
+
+
 def _pixel_row_cam_indices(template: prob.RigState, obs: prob.PixelObs,
                            layout: CamLayout) -> np.ndarray:
     """[N, B] int32 indices into the camera vector for each row's cam-block
@@ -193,10 +277,6 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
     template's index arrays and shapes (only masks/measurements may differ);
     passing updated masks this way avoids a recompile per outlier pass.
     """
-    if observations.depths:
-        raise NotImplementedError("Schur backend: depth residuals coming next; "
-                                  "use the dense LM meanwhile")
-
     layout = cam_layout(template)
     num_points = template.points.shape[0]
     cam_free = jnp.asarray(cam_mask.astype(np.float64), template.dtype)
@@ -204,6 +284,10 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
     row_cols = [
         jnp.asarray(_pixel_row_cam_indices(template, o, layout))
         for o in observations.pixels
+    ]
+    depth_cols = [
+        jnp.asarray(_depth_row_cam_indices(template, o, layout))
+        for o in observations.depths
     ]
 
     def unpack(cam_vec, points):
@@ -229,6 +313,16 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
             # exact diag(Jc^T Jc): sum of squared entries per column
             contrib = jnp.sum(j_cam * j_cam, axis=1)  # [N,B]
             cam_diag = cam_diag.at[cols.reshape(-1)].add(contrib.reshape(-1))
+        for obs, cols in zip(obs_all.depths, depth_cols):
+            if opts.depth_tri_weight > 0.0:
+                j_cam, j_pt = _depth_row_blocks(st, obs, opts, mesh_variant=False)
+                hpp = hpp.at[obs.point_idx].add(jnp.einsum("nri,nrj->nij", j_pt, j_pt))
+                contrib = jnp.sum(j_cam * j_cam, axis=1)
+                cam_diag = cam_diag.at[cols.reshape(-1)].add(contrib.reshape(-1))
+            if obs.mesh_xyz is not None and opts.depth_mesh_weight > 0.0:
+                j_cam, _ = _depth_row_blocks(st, obs, opts, mesh_variant=True)
+                contrib = jnp.sum(j_cam * j_cam, axis=1)
+                cam_diag = cam_diag.at[cols.reshape(-1)].add(contrib.reshape(-1))
         # xyz priors touch only points
         for prior, weight, th in _priors(obs_all, opts):
             # d/dp of robustified weight*(p - ref) has 3x3 block; use jacfwd rows

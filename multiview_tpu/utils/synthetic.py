@@ -11,6 +11,7 @@ import dataclasses
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from multiview_tpu.geometry import pose as pose_mod
@@ -339,3 +340,59 @@ def perturb_rig_state(state: prob.RigState, rig_rot: float = 0.02,
     # sensor 0 stays identity
     new_rig = new_rig.at[0].set(pose_mod.pose_identity(state.dtype))
     return dataclasses.replace(out, ref_to_cam=new_rig)
+
+
+def add_depth_observations(scene: RigScene, sensors=(1,), subsample: int = 2,
+                           depth_noise: float = 0.0,
+                           depth_to_image=None, depth_scale=None,
+                           seed: int = 7) -> RigScene:
+    """Attach synthetic depth-cloud observations to a rig scene.
+
+    For each pixel observation of the chosen sensors (subsampled), the depth
+    measurement is the true point expressed in depth-cloud coordinates:
+    depth_xyz = (scale*R)^-1 (X_cam - t) with the sensor's depth_to_image
+    transform — consistent with BracketedDepthError's model
+    (rig_calibrator.cc:557-572).
+    """
+    rng = np.random.default_rng(seed)
+    st = scene.true_state
+    if depth_to_image is not None or depth_scale is not None:
+        st = dataclasses.replace(
+            st,
+            depth_to_image=(st.depth_to_image if depth_to_image is None
+                            else jnp.asarray(depth_to_image, st.dtype)),
+            depth_scale=(st.depth_scale if depth_scale is None
+                         else jnp.asarray(depth_scale, st.dtype)))
+
+    depth_obs = []
+    for obs in scene.observations.pixels:
+        s = obs.sensor
+        if s not in sensors:
+            continue
+        rows = np.arange(len(obs))[::subsample]
+        beg = jnp.asarray(np.asarray(obs.beg_idx)[rows])
+        end = jnp.asarray(np.asarray(obs.end_idx)[rows])
+        pid = jnp.asarray(np.asarray(obs.point_idx)[rows])
+        dtc = jnp.asarray(np.asarray(obs.dt_cam)[rows])
+        dtb = jnp.asarray(np.asarray(obs.dt_bracket)[rows])
+
+        w2c = jax.vmap(
+            lambda b, e, dc, db: pose_mod.world_to_cam_from_bracket(
+                st.world_to_ref[b], st.world_to_ref[e], st.ref_to_cam[s],
+                dc, db, st.timestamp_offsets[s])
+        )(beg, end, dtc, dtb)
+        Xc = pose_mod.pose_apply(w2c, st.points[pid])
+        R = pose_mod.quat_to_matrix(pose_mod.pose_q(st.depth_to_image[s]))
+        L = R * st.depth_scale[s]
+        t = pose_mod.pose_t(st.depth_to_image[s])
+        depth_xyz = jnp.einsum("ij,nj->ni", jnp.linalg.inv(L), Xc - t)
+        depth_xyz = depth_xyz + jnp.asarray(
+            rng.normal(size=depth_xyz.shape) * depth_noise, st.dtype)
+
+        depth_obs.append(prob.DepthObs(
+            depth_xyz=depth_xyz, beg_idx=beg, end_idx=end, point_idx=pid,
+            dt_cam=dtc, dt_bracket=dtb,
+            mask=jnp.ones(len(rows), bool), mesh_xyz=None, sensor=s))
+
+    new_obs = dataclasses.replace(scene.observations, depths=tuple(depth_obs))
+    return dataclasses.replace(scene, true_state=st, observations=new_obs)

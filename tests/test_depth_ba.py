@@ -1,0 +1,119 @@
+"""Depth-to-image constraints (BracketedDepthError) end-to-end — the second
+half of BASELINE config 2."""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from multiview_tpu.calib import problem as prob
+from multiview_tpu.calib import calibrator as cal
+from multiview_tpu.geometry import pose as pose_mod
+from multiview_tpu.utils import synthetic as syn
+
+
+def make_depth_scene(depth_noise=0.0, pix_noise=0.0):
+    scene = syn.make_rig_scene(n_ref=12, pix_noise=pix_noise)
+    # true depth_to_image: small rotation+translation and scale 1.02 on sensor 1
+    d2i = np.tile([0, 0, 0, 0, 0, 0, 1.0], (3, 1))
+    d2i[1] = np.asarray(pose_mod.make_pose(
+        jnp.asarray([0.01, -0.02, 0.005]),
+        pose_mod.quat_exp(jnp.asarray([0.02, 0.01, -0.015]))))
+    scale = np.array([1.0, 1.02, 1.0])
+    return syn.add_depth_observations(scene, sensors=(1,), subsample=2,
+                                      depth_noise=depth_noise,
+                                      depth_to_image=d2i, depth_scale=scale)
+
+
+class TestDepthResiduals:
+    def test_zero_at_truth(self):
+        scene = make_depth_scene()
+        opts = prob.BAOptions(depth_tri_weight=100.0)
+        for obs in scene.observations.depths:
+            r = prob.depth_tri_residuals(scene.true_state, obs, opts, robust=False)
+            assert float(jnp.abs(r).max()) < 1e-8
+
+    def test_schur_row_blocks_match_autodiff(self):
+        import jax
+        from multiview_tpu.solver import schur
+        scene = make_depth_scene()
+        st = scene.true_state
+        obs = scene.observations.depths[0]
+        opts = prob.BAOptions(depth_tri_weight=10.0)
+        layout = schur.cam_layout(st)
+        j_cam, j_pt = schur._depth_row_blocks(st, obs, opts, mesh_variant=False)
+        cols = schur._depth_row_cam_indices(st, obs, layout)
+
+        template = st
+
+        def residual_fn(cam_vec, points):
+            s2 = prob.unpack_state(cam_vec, template, include_points=False)
+            s2 = dataclasses.replace(s2, points=points)
+            return prob.depth_tri_residuals(s2, obs, opts).ravel()
+
+        cam0 = prob.pack_state(st, include_points=False)
+        Jc = np.asarray(jax.jacrev(residual_fn, argnums=0)(cam0, st.points))
+        Jp = np.asarray(jax.jacrev(residual_fn, argnums=1)(cam0, st.points))
+        N = len(obs)
+        Jc = Jc.reshape(N, 3, -1)
+        Jp = Jp.reshape(N, 3, -1, 3)
+        pidx = np.asarray(obs.point_idx)
+        for i in range(0, N, 23):
+            dense_row = np.zeros((3, cam0.shape[0]))
+            np.add.at(dense_row.T, cols[i], np.asarray(j_cam[i]).T)
+            np.testing.assert_allclose(dense_row, Jc[i], atol=1e-9)
+            np.testing.assert_allclose(np.asarray(j_pt[i]), Jp[i, :, pidx[i]], atol=1e-9)
+
+
+class TestDepthCalibration:
+    def test_recover_depth_to_image(self):
+        """Float depth_to_image + scale from a perturbed guess (rig fixed)."""
+        scene = make_depth_scene()
+        st0 = scene.true_state
+        # perturb sensor 1's depth transform and scale
+        bad_d2i = np.asarray(st0.depth_to_image).copy()
+        bad_d2i[1] = np.asarray(pose_mod.pose_compose(
+            pose_mod.make_pose(jnp.asarray([0.02, 0.01, -0.01]),
+                               pose_mod.quat_exp(jnp.asarray([0.01, -0.02, 0.01]))),
+            st0.depth_to_image[1]))
+        state0 = dataclasses.replace(
+            st0,
+            depth_to_image=jnp.asarray(bad_d2i, st0.dtype),
+            depth_scale=st0.depth_scale * jnp.asarray([1.0, 0.97, 1.0]))
+
+        spec = prob.FloatSpec(depth_to_image=(1,), depth_scale=True)
+        opts = prob.BAOptions(depth_tri_weight=100.0)
+        result = cal.optimize_rig(state0, scene.observations, scene.models, spec,
+                                  opts, num_passes=2, num_iterations=40)
+
+        rel = pose_mod.pose_compose(
+            pose_mod.pose_inverse(result.state.depth_to_image[1]),
+            st0.depth_to_image[1])
+        rot_err = np.linalg.norm(np.asarray(pose_mod.quat_log(pose_mod.pose_q(rel))))
+        trans_err = np.linalg.norm(np.asarray(pose_mod.pose_t(rel)))
+        assert rot_err < 1e-4, f"d2i rot err {rot_err}"
+        assert trans_err < 1e-4, f"d2i trans err {trans_err}"
+        np.testing.assert_allclose(float(result.state.depth_scale[1]), 1.02, atol=1e-4)
+        # depth residual stats present
+        assert "depth_tri_x_m" in result.stats_after
+
+    def test_depth_anchors_scale_drift(self):
+        """Without depth, BA has a gauge scale freedom; depth constraints pin
+        the scale. Scale all poses/points by 1.1 and check depth pulls back."""
+        scene = make_depth_scene()
+        st = scene.true_state
+        bad = dataclasses.replace(
+            st,
+            world_to_ref=pose_mod.make_pose(pose_mod.pose_t(st.world_to_ref) * 1.1,
+                                            pose_mod.pose_q(st.world_to_ref)),
+            points=st.points * 1.1)
+        spec = prob.FloatSpec(cam_poses=True)
+        opts = prob.BAOptions(depth_tri_weight=50.0)
+        result = cal.optimize_rig(bad, scene.observations, scene.models, spec,
+                                  opts, num_passes=2, num_iterations=60)
+        # scale recovered: camera center distances match truth again
+        ctr_true = np.asarray(pose_mod.pose_t(pose_mod.pose_inverse(st.world_to_ref)))
+        ctr_est = np.asarray(pose_mod.pose_t(pose_mod.pose_inverse(result.state.world_to_ref)))
+        scale_est = np.linalg.norm(ctr_est[0] - ctr_est[-1]) / \
+            np.linalg.norm(ctr_true[0] - ctr_true[-1])
+        assert abs(scale_est - 1.0) < 0.01, f"scale drift {scale_est}"

@@ -1,0 +1,155 @@
+"""Global SfM initializer tests: rotation averaging, position estimation,
+and the full pipeline from synthetic correspondences -> poses -> BA (config 3
+logic on synthetic data)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from multiview_tpu.geometry import pose as P
+from multiview_tpu.geometry import registration as reg
+from multiview_tpu.sfm import global_sfm as g
+from multiview_tpu.utils import synthetic as syn
+
+
+def make_graph(n_views, noise=0.0, outlier_frac=0.0, seed=0, overlap=3):
+    """Ground-truth poses on a ring + view graph with consecutive edges."""
+    rng = np.random.default_rng(seed)
+    w2c = syn.ring_poses(n_views)
+    q_true = np.asarray(P.pose_q(jnp.asarray(w2c)))
+    ctr = np.asarray(P.pose_t(P.pose_inverse(jnp.asarray(w2c))))
+
+    edges, rots, dirs, weights = [], [], [], []
+    for i in range(n_views):
+        for j in range(i + 1, min(i + 1 + overlap, n_views)):
+            q_ij = P.quat_mul(jnp.asarray(q_true[j]), P.quat_conj(jnp.asarray(q_true[i])))
+            if noise > 0:
+                q_ij = P.quat_mul(P.quat_exp(jnp.asarray(rng.normal(size=3) * noise)), q_ij)
+            d = ctr[j] - ctr[i]
+            d = d / np.linalg.norm(d)
+            if noise > 0:
+                d = d + rng.normal(size=3) * noise
+                d /= np.linalg.norm(d)
+            if rng.uniform() < outlier_frac:
+                q_ij = P.quat_normalize(jnp.asarray(rng.normal(size=4)))
+                d = rng.normal(size=3)
+                d /= np.linalg.norm(d)
+            edges.append((i, j))
+            rots.append(np.asarray(q_ij))
+            dirs.append(d)
+            weights.append(100.0)
+    graph = g.ViewGraph(jnp.asarray(np.asarray(edges, np.int32)),
+                        jnp.asarray(np.stack(rots)),
+                        jnp.asarray(np.stack(dirs)),
+                        jnp.asarray(np.asarray(weights)))
+    return graph, w2c, q_true, ctr
+
+
+def rot_errors_deg(q_est, q_true):
+    """Per-view rotation error after global gauge alignment.
+
+    The averaging gauge is a RIGHT world-rotation: R_est_v = R_true_v G.
+    Align with G = R_est_0^-1 R_true_0 and measure log(R_adj^-1 R_true)."""
+    g_align = P.quat_mul(P.quat_conj(q_est[0]), jnp.asarray(q_true[0]))
+    errs = []
+    for v in range(len(q_true)):
+        q_adj = P.quat_mul(q_est[v], g_align)
+        e = np.linalg.norm(np.asarray(P.quat_log(
+            P.quat_mul(P.quat_conj(q_adj), jnp.asarray(q_true[v])))))
+        errs.append(np.degrees(e))
+    return np.asarray(errs)
+
+
+class TestRotationAveraging:
+    def test_exact_graph(self):
+        graph, w2c, q_true, _ = make_graph(12)
+        q = g.rotation_averaging(graph, 12)
+        errs = rot_errors_deg(q, q_true)
+        assert errs.max() < 1e-6, f"max rot err {errs.max()} deg"
+
+    def test_noisy_graph(self):
+        graph, w2c, q_true, _ = make_graph(12, noise=0.01)
+        q = g.rotation_averaging(graph, 12)
+        errs = rot_errors_deg(q, q_true)
+        assert errs.max() < 1.5, f"max rot err {errs.max()} deg"
+
+    def test_outlier_edges_filtered(self):
+        """Outlier edges can poison the spanning-tree init; the robust
+        variant filters them and re-initializes."""
+        graph, w2c, q_true, _ = make_graph(14, noise=0.005, outlier_frac=0.15, seed=3)
+        q, filtered = g.robust_rotation_averaging(graph, 14)
+        errs = rot_errors_deg(q, q_true)
+        assert errs.max() < 3.0, f"max rot err {errs.max()} deg"
+        assert filtered.edges.shape[0] < graph.edges.shape[0]  # outliers dropped
+
+
+class TestPositionEstimation:
+    def test_exact_positions(self):
+        graph, w2c, q_true, ctr = make_graph(12)
+        c = g.position_estimation(graph, jnp.asarray(q_true), 12)
+        # similarity-align (scale+shift; rotation should be identity gauge)
+        scale, T = reg.find_similarity_transform(c, jnp.asarray(ctr))
+        aligned = np.asarray(reg.apply_similarity(scale, T, c))
+        err = np.linalg.norm(aligned - ctr, axis=-1).max()
+        assert err < 1e-4 * np.abs(ctr).max(), f"pos err {err}"
+
+
+class TestFullPipeline:
+    def test_correspondences_to_poses(self):
+        """Synthetic 3D points -> pairwise unit-plane matches -> essential
+        RANSAC -> averaging -> positions; ATE small after alignment."""
+        rng = np.random.default_rng(5)
+        n_views = 8
+        w2c = syn.ring_poses(n_views, radius=3.0)
+        pts = syn.cube_points(5) * 2.0  # bigger cube for parallax
+
+        pair_data = {}
+        for i in range(n_views):
+            for j in (i + 1, i + 2):
+                if j >= n_views:
+                    continue
+                Xi = np.asarray(P.pose_apply(jnp.asarray(w2c[i]), jnp.asarray(pts)))
+                Xj = np.asarray(P.pose_apply(jnp.asarray(w2c[j]), jnp.asarray(pts)))
+                vis = (Xi[:, 2] > 0.1) & (Xj[:, 2] > 0.1)
+                x1 = Xi[vis, :2] / Xi[vis, 2:]
+                x2 = Xj[vis, :2] / Xj[vis, 2:]
+                if vis.sum() >= 16:
+                    pair_data[(i, j)] = (x1, x2)
+
+        poses = g.run_global_sfm(pair_data, n_views)
+        ctr_true = np.asarray(P.pose_t(P.pose_inverse(jnp.asarray(w2c))))
+        ctr_est = np.asarray(P.pose_t(P.pose_inverse(poses)))
+        scale, T = reg.find_similarity_transform(jnp.asarray(ctr_est),
+                                                 jnp.asarray(ctr_true))
+        aligned = np.asarray(reg.apply_similarity(scale, T, jnp.asarray(ctr_est)))
+        ate = np.sqrt(np.mean(np.sum((aligned - ctr_true) ** 2, -1)))
+        assert ate < 0.02, f"ATE {ate}"
+
+    def test_noisy_correspondences(self):
+        """Regression: measurement noise must not flip baseline directions
+        (the cheirality depth-sign bug) nor blow up E estimates (inlier
+        refit)."""
+        rng = np.random.default_rng(7)
+        n_views = 10
+        w2c = syn.ring_poses(n_views)
+        pts = syn.cube_points(5) * 2.0
+        pair_data = {}
+        for i in range(n_views):
+            for j in (i + 1, i + 2):
+                if j >= n_views:
+                    continue
+                Xi = np.asarray(P.pose_apply(jnp.asarray(w2c[i]), jnp.asarray(pts)))
+                Xj = np.asarray(P.pose_apply(jnp.asarray(w2c[j]), jnp.asarray(pts)))
+                vis = (Xi[:, 2] > 0.1) & (Xj[:, 2] > 0.1)
+                x1 = Xi[vis, :2] / Xi[vis, 2:] + rng.normal(size=(vis.sum(), 2)) * 5e-4
+                x2 = Xj[vis, :2] / Xj[vis, 2:] + rng.normal(size=(vis.sum(), 2)) * 5e-4
+                if vis.sum() >= 16:
+                    pair_data[(i, j)] = (x1, x2)
+        poses = g.run_global_sfm(pair_data, n_views)
+        ctr_true = np.asarray(P.pose_t(P.pose_inverse(jnp.asarray(w2c))))
+        ctr_est = np.asarray(P.pose_t(P.pose_inverse(poses)))
+        scale, T = reg.find_similarity_transform(jnp.asarray(ctr_est),
+                                                 jnp.asarray(ctr_true))
+        aligned = np.asarray(reg.apply_similarity(scale, T, jnp.asarray(ctr_est)))
+        ate = np.sqrt(np.mean(np.sum((aligned - ctr_true) ** 2, -1)))
+        assert ate < 0.05, f"noisy ATE {ate}"

@@ -1,0 +1,179 @@
+"""SfM front-end tests: matching, RANSAC, tracks, feature detection."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from multiview_tpu.sfm import matching, ransac, tracks, features
+
+
+class TestMatching:
+    def _descs(self, rng, n=64, d=128):
+        a = rng.normal(size=(n, d)).astype(np.float32)
+        return a / np.linalg.norm(a, axis=-1, keepdims=True)
+
+    def test_knn2_exact(self):
+        rng = np.random.default_rng(0)
+        q = self._descs(rng, 32)
+        t = self._descs(rng, 48)
+        m = matching.knn2(jnp.asarray(q), jnp.asarray(t))
+        d2 = ((q[:, None] - t[None]) ** 2).sum(-1)
+        np.testing.assert_array_equal(np.asarray(m.best_idx), d2.argmin(1))
+        np.testing.assert_allclose(np.asarray(m.best_dist), d2.min(1), atol=1e-5)
+        part = np.partition(d2, 1, axis=1)
+        np.testing.assert_allclose(np.asarray(m.second_dist), part[:, 1], atol=1e-5)
+
+    def test_ratio_test_keeps_distinct_matches(self):
+        rng = np.random.default_rng(1)
+        t = self._descs(rng, 40)
+        # queries = slightly noisy copies -> unambiguous matches
+        q = t + 0.01 * rng.normal(size=t.shape).astype(np.float32)
+        pairs, keep = matching.match_descriptors(jnp.asarray(q), jnp.asarray(t))
+        assert bool(jnp.all(keep))
+        np.testing.assert_array_equal(np.asarray(pairs[:, 1]), np.arange(40))
+
+    def test_ratio_test_rejects_ambiguous(self):
+        rng = np.random.default_rng(2)
+        base = self._descs(rng, 1)
+        # train has two nearly identical rows -> ambiguous
+        t = np.concatenate([base, base + 1e-4, self._descs(rng, 10)])
+        q = base + 0.01 * rng.normal(size=base.shape).astype(np.float32)
+        _, keep = matching.match_descriptors(jnp.asarray(q), jnp.asarray(t))
+        assert not bool(keep[0])
+
+    def test_cross_check(self):
+        rng = np.random.default_rng(3)
+        t = self._descs(rng, 30)
+        q = t[::-1] + 0.005 * rng.normal(size=t.shape).astype(np.float32)
+        pairs, keep = matching.match_descriptors(jnp.asarray(q), jnp.asarray(t),
+                                                 cross_check=True)
+        assert bool(jnp.all(keep))
+        np.testing.assert_array_equal(np.asarray(pairs[:, 1]), np.arange(29, -1, -1))
+
+    def test_pallas_kernel_matches_xla(self):
+        rng = np.random.default_rng(4)
+        q = self._descs(rng, 512)
+        t = self._descs(rng, 512)
+        ref = matching.knn2(jnp.asarray(q), jnp.asarray(t))
+        try:
+            out = matching.matched_pairs_pallas(jnp.asarray(q), jnp.asarray(t),
+                                                block_n=256, block_m=256)
+        except Exception as e:  # pallas CPU-interpret unavailability
+            pytest.skip(f"pallas unavailable on this backend: {e}")
+        np.testing.assert_array_equal(np.asarray(out.best_idx), np.asarray(ref.best_idx))
+        np.testing.assert_allclose(np.asarray(out.best_dist),
+                                   np.asarray(ref.best_dist), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(out.second_dist),
+                                   np.asarray(ref.second_dist), atol=1e-4)
+
+
+class TestRansac:
+    def test_affine2d_recovery(self):
+        rng = np.random.default_rng(5)
+        A = np.array([[1.1, -0.2, 30.0], [0.15, 0.9, -12.0]])
+        src = rng.uniform(0, 500, size=(200, 2))
+        dst = src @ A[:, :2].T + A[:, 2]
+        # 30% outliers
+        bad = rng.choice(200, 60, replace=False)
+        dst[bad] += rng.uniform(100, 400, size=(60, 2))
+        res = ransac.ransac_affine2d(jnp.asarray(src), jnp.asarray(dst),
+                                     threshold=5.0)
+        inl = np.asarray(res.inliers)
+        assert not inl[bad].any()
+        good = np.setdiff1d(np.arange(200), bad)
+        assert inl[good].all()
+        np.testing.assert_allclose(np.asarray(res.model), A, atol=1e-6)
+
+    def test_essential_and_pose(self):
+        rng = np.random.default_rng(6)
+        from multiview_tpu.geometry import pose as P
+        # cam1 at origin; cam2 rotated+translated
+        R = np.asarray(P.quat_to_matrix(P.quat_exp(jnp.asarray([0.05, -0.1, 0.08]))))
+        t = np.array([0.5, 0.1, -0.2])
+        t = t / np.linalg.norm(t)
+        X = rng.uniform(-1, 1, size=(120, 3)) + np.array([0, 0, 4.0])
+        x1 = X[:, :2] / X[:, 2:]
+        X2 = X @ R.T + t
+        x2 = X2[:, :2] / X2[:, 2:]
+        res = ransac.ransac_essential(jnp.asarray(x1), jnp.asarray(x2),
+                                      threshold=1e-8)
+        assert int(res.num_inliers) == 120
+        R_est, t_est = ransac.decompose_essential(res.model, jnp.asarray(x1),
+                                                  jnp.asarray(x2), res.inliers)
+        np.testing.assert_allclose(np.asarray(R_est), R, atol=1e-6)
+        np.testing.assert_allclose(np.abs(np.asarray(t_est) @ t), 1.0, atol=1e-6)
+
+
+class TestTracks:
+    def test_union_and_conflict_filter(self):
+        # 3 images; a clean track across all 3, plus a conflicting union
+        kpA = {0: (10.0, 10.0), 1: (50.0, 50.0)}
+        pm = {
+            (0, 1): (np.array([[10.0, 10.0]]), np.array([[11.0, 10.0]])),
+            (1, 2): (np.array([[11.0, 10.0]]), np.array([[12.0, 10.0]])),
+            # conflicting: links image0 kp (50,50) to BOTH of image1's kps
+            (0, 2): (np.array([[50.0, 50.0]]), np.array([[55.0, 55.0]])),
+        }
+        ts = tracks.build_tracks(pm, 3)
+        lens = sorted(len(t) for t in ts.tracks)
+        assert lens == [2, 3]
+        big = [t for t in ts.tracks if len(t) == 3][0]
+        assert set(big.keys()) == {0, 1, 2}
+
+    def test_conflict_dropped(self):
+        # image0 kp matches two distinct kps in image1 -> merged track has
+        # image1 twice -> dropped
+        pm = {
+            (0, 1): (np.array([[1.0, 1.0], [1.0, 1.0]]),
+                     np.array([[5.0, 5.0], [9.0, 9.0]])),
+        }
+        ts = tracks.build_tracks(pm, 2)
+        assert len(ts.tracks) == 0
+
+    def test_tracks_to_arrays(self):
+        pm = {(0, 1): (np.array([[1.0, 2.0]]), np.array([[3.0, 4.0]]))}
+        ts = tracks.build_tracks(pm, 2)
+        cam_idx, fid, pix, pid = tracks.tracks_to_arrays(ts)
+        assert len(cam_idx) == 2
+        assert set(cam_idx) == {0, 1}
+        assert (pid == 0).all()
+
+
+class TestFeatures:
+    def _textured_image(self, rng, H=128, W=160):
+        # smooth random texture with strong corners
+        img = rng.uniform(size=(H // 8, W // 8))
+        img = np.kron(img, np.ones((8, 8)))
+        from scipy import ndimage as ni  # noqa: F401
+        return img.astype(np.float32)
+
+    def test_detect_finds_corners(self):
+        rng = np.random.default_rng(8)
+        img = self._textured_image(rng)
+        kp, desc = features.detect_and_describe(jnp.asarray(img), max_features=200)
+        nv = int(jnp.sum(kp.valid))
+        assert nv > 50, f"only {nv} keypoints"
+        assert desc.shape == (200, 128)
+        norms = np.linalg.norm(np.asarray(desc[np.asarray(kp.valid)]), axis=-1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-3)
+
+    def test_match_under_translation(self):
+        """Detect in an image and a shifted copy; matches must obey the shift."""
+        rng = np.random.default_rng(9)
+        img = self._textured_image(rng, 160, 160)
+        dx, dy = 24, 13
+        img2 = np.roll(np.roll(img, dy, axis=0), dx, axis=1)
+        kp1, d1 = features.detect_and_describe(jnp.asarray(img), max_features=300)
+        kp2, d2 = features.detect_and_describe(jnp.asarray(img2), max_features=300)
+        pairs, keep = matching.match_descriptors(d1, d2, ratio=0.8)
+        keep = np.asarray(keep & kp1.valid & kp2.valid[pairs[:, 1]])
+        p1 = np.asarray(kp1.xy)[keep]
+        p2 = np.asarray(kp2.xy)[np.asarray(pairs[:, 1])[keep]]
+        assert keep.sum() > 30
+        res = ransac.ransac_affine2d(jnp.asarray(p1), jnp.asarray(p2), threshold=3.0)
+        # recovered translation ~ (dx, dy)
+        model = np.asarray(res.model)
+        assert int(res.num_inliers) > 0.5 * keep.sum()
+        np.testing.assert_allclose(model[:, 2], [dx, dy], atol=1.0)
+        np.testing.assert_allclose(model[:, :2], np.eye(2), atol=0.05)
