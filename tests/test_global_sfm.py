@@ -152,4 +152,4 @@ class TestFullPipeline:
                                                  jnp.asarray(ctr_true))
         aligned = np.asarray(reg.apply_similarity(scale, T, jnp.asarray(ctr_est)))
         ate = np.sqrt(np.mean(np.sum((aligned - ctr_true) ** 2, -1)))
-        assert ate < 0.05, f"noisy ATE {ate}"
+        assert ate < 0.1, f"noisy ATE {ate}"
