@@ -1,0 +1,319 @@
+"""Texture projection: view selection, atlas charts, sampling, seam leveling,
+OBJ/MTL output.
+
+Re-design of the ISAAC texturing variant
+(`/root/reference/rig_calibrator/src/texture_processing.cc`): the
+geometry-determined texture buffer (``formModel``, :687-882) samples each
+face on a fixed-pixel-size grid in its own plane; ``projectTexture``
+(:991-1433) picks the best view per face by a view-angle + distance cost
+with an occlusion ray test; charts are packed into an atlas
+(IsaacTextureAtlas, :72-206); texrecon's global seam leveling is a per-face
+gain adjustment solved as a sparse LS on the face-adjacency graph.
+
+TPU mapping: costs/occlusion/sampling are single batched kernels over all
+faces x views and all texels; only shelf packing and OBJ emission stay on
+host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from multiview_tpu.geometry import pose as pose_mod
+from multiview_tpu.geometry.camera import CameraParams, UNDISTORTED_C, DISTORTED
+from multiview_tpu.texture import raycast
+
+
+# ----------------------------------------------------------------------------
+# View selection
+# ----------------------------------------------------------------------------
+
+
+def face_geometry(vertices, faces):
+    """Centers [F,3], unit normals [F,3], areas [F]."""
+    tri = vertices[faces]                       # [F,3,3]
+    ctr = jnp.mean(tri, axis=1)
+    n = jnp.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    area = 0.5 * jnp.linalg.norm(n, axis=-1)
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-30)
+    return ctr, n, area
+
+
+def view_selection(vertices, faces, world_to_cam_poses, occlusion: bool = True,
+                   max_dist: float = 100.0):
+    """Best view per face by cost = view-angle + distance with occlusion test
+    (projectTexture cost, texture_processing.cc:1044-1087).
+
+    Returns (best_view [F] int32, visible [F] bool).
+    """
+    ctr, normal, _ = face_geometry(vertices, faces)
+    c2w = pose_mod.pose_inverse(world_to_cam_poses)     # [V,7]
+    cam_ctr = pose_mod.pose_t(c2w)                      # [V,3]
+
+    to_cam = cam_ctr[None, :, :] - ctr[:, None, :]      # [F,V,3]
+    dist = jnp.linalg.norm(to_cam, axis=-1)
+    dir_to_cam = to_cam / jnp.maximum(dist[..., None], 1e-30)
+
+    cosang = jnp.sum(dir_to_cam * normal[:, None, :], axis=-1)
+    # reference cost: angle + distance; smaller better, require facing
+    ang = jnp.arccos(jnp.clip(cosang, -1.0, 1.0))
+    cost = ang + dist
+    facing = cosang > 0.0
+
+    # front-of-camera test: face center must project with positive depth
+    Xc = pose_mod.pose_apply(world_to_cam_poses[None, :, :], ctr[:, None, :])
+    in_front = Xc[..., 2] > 1e-6
+
+    usable = facing & in_front & (dist < max_dist)
+
+    if occlusion:
+        # ray from just-off-surface face center toward each camera; if the
+        # mesh is hit before the camera, the view is occluded
+        F, V = dist.shape
+        tri_soup = vertices[faces]
+        origins = jnp.broadcast_to(
+            ctr[:, None, :] + 1e-4 * normal[:, None, :], (F, V, 3)).reshape(-1, 3)
+        dirs = dir_to_cam.reshape(-1, 3)
+        t, _, hit = raycast.ray_mesh_intersect(origins, dirs, tri_soup,
+                                               min_dist=1e-3, max_dist=max_dist)
+        blocked = hit.reshape(F, V) & (t.reshape(F, V) < dist - 1e-3)
+        usable = usable & ~blocked
+
+    cost = jnp.where(usable, cost, jnp.inf)
+    best = jnp.argmin(cost, axis=-1).astype(jnp.int32)
+    visible = jnp.isfinite(jnp.min(cost, axis=-1))
+    return best, visible
+
+
+# ----------------------------------------------------------------------------
+# Charts + atlas
+# ----------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class Atlas:
+    """Per-face axis-aligned charts shelf-packed into one texture page."""
+
+    size: Tuple[int, int]            # (W, H)
+    face_uv0: np.ndarray             # [F,2] texel origin of each chart
+    face_wh: np.ndarray              # [F,2] chart size in texels
+    face_basis: np.ndarray           # [F,2,3] in-plane axes (u,v) world dirs
+    face_origin3d: np.ndarray        # [F,3] world point of chart texel (0,0)
+    pixel_size: float
+
+
+def build_atlas(vertices: np.ndarray, faces: np.ndarray, pixel_size: float,
+                max_page: int = 8192, pad: int = 1) -> Atlas:
+    """Per-face planar parametrization at fixed pixel_size + shelf packing
+    (formModel + IsaacTextureAtlas roles). Host-side (irregular packing)."""
+    tri = vertices[faces]                                  # [F,3,3]
+    e1 = tri[:, 1] - tri[:, 0]
+    n = np.cross(e1, tri[:, 2] - tri[:, 0])
+    n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-30)
+    u = e1 / np.maximum(np.linalg.norm(e1, axis=-1, keepdims=True), 1e-30)
+    v = np.cross(n, u)
+
+    # face-local 2D coords of the 3 vertices
+    rel = tri - tri[:, :1]
+    pu = np.einsum("fij,fj->fi", rel, u)
+    pv = np.einsum("fij,fj->fi", rel, v)
+    umin, vmin = pu.min(1), pv.min(1)
+    w_tex = np.maximum(1, np.ceil((pu.max(1) - umin) / pixel_size).astype(int) + 1)
+    h_tex = np.maximum(1, np.ceil((pv.max(1) - vmin) / pixel_size).astype(int) + 1)
+
+    origin3d = tri[:, 0] + umin[:, None] * u + vmin[:, None] * v
+
+    # shelf packing by descending height
+    order = np.argsort(-h_tex)
+    page_w = min(max_page, int(np.ceil(np.sqrt(np.sum((w_tex + pad) *
+                                                      (h_tex + pad))))) * 2)
+    x = y = shelf_h = 0
+    uv0 = np.zeros((len(faces), 2), int)
+    for f in order:
+        fw, fh = int(w_tex[f]) + pad, int(h_tex[f]) + pad
+        if x + fw > page_w:
+            x = 0
+            y += shelf_h
+            shelf_h = 0
+        uv0[f] = (x, y)
+        x += fw
+        shelf_h = max(shelf_h, fh)
+    page_h = y + shelf_h
+    return Atlas(size=(page_w, page_h), face_uv0=uv0,
+                 face_wh=np.stack([w_tex, h_tex], 1),
+                 face_basis=np.stack([u, v], 1), face_origin3d=origin3d,
+                 pixel_size=pixel_size)
+
+
+# ----------------------------------------------------------------------------
+# Sampling the selected views into the atlas
+# ----------------------------------------------------------------------------
+
+
+def _bilinear(img, x, y):
+    H, W = img.shape[:2]
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, W - 2)
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, H - 2)
+    fx = jnp.clip(x - x0, 0.0, 1.0)
+    fy = jnp.clip(y - y0, 0.0, 1.0)
+    c00 = img[y0, x0]
+    c10 = img[y0, x0 + 1]
+    c01 = img[y0 + 1, x0]
+    c11 = img[y0 + 1, x0 + 1]
+    if img.ndim == 3:
+        fx = fx[..., None]
+        fy = fy[..., None]
+    return (c00 * (1 - fx) * (1 - fy) + c10 * fx * (1 - fy)
+            + c01 * (1 - fx) * fy + c11 * fx * fy)
+
+
+def render_atlas(atlas: Atlas, vertices, faces, best_view, visible,
+                 images: Sequence, cams: Sequence[CameraParams],
+                 world_to_cam_poses, face_gain: Optional[np.ndarray] = None,
+                 max_chart: int = 64) -> np.ndarray:
+    """Fill the atlas page: every chart texel is lifted to 3D, projected into
+    its face's chosen view through the full distortion model, and bilinearly
+    sampled (projectTexture atlas variant, texture_processing.cc:1165-1433).
+
+    Charts are processed in one batched kernel using a fixed [max_chart]^2
+    texel grid per face (masked to the true chart size). Returns the texture
+    page [H,W] (or [H,W,3] for color images) float in [0,1].
+    """
+    F = len(faces)
+    W, H = atlas.size
+    sample_img = np.asarray(images[0])
+    channels = () if sample_img.ndim == 2 else (sample_img.shape[2],)
+    page = np.zeros((H, W) + channels, np.float32)
+
+    gy, gx = np.meshgrid(np.arange(max_chart), np.arange(max_chart), indexing="ij")
+
+    # group faces by their selected view -> one batched projection per view
+    best_view = np.asarray(best_view)
+    visible = np.asarray(visible)
+    for v in range(len(images)):
+        sel = np.nonzero(visible & (best_view == v))[0]
+        if len(sel) == 0:
+            continue
+        basis = atlas.face_basis[sel]          # [S,2,3]
+        org = atlas.face_origin3d[sel]         # [S,3]
+        # texel 3D positions: [S,mc,mc,3]
+        pts = (org[:, None, None, :]
+               + (gx[None, ..., None] * atlas.pixel_size) * basis[:, None, None, 0, :]
+               + (gy[None, ..., None] * atlas.pixel_size) * basis[:, None, None, 1, :])
+        w2c = jnp.asarray(world_to_cam_poses[v])
+        Xc = pose_mod.pose_apply(w2c, jnp.asarray(pts.reshape(-1, 3)))
+        pix = cams[v].project_cam_to_dist_pix(Xc)
+        img = jnp.asarray(np.asarray(images[v], np.float32))
+        colors = _bilinear(img, pix[:, 0], pix[:, 1])
+        colors = np.asarray(colors).reshape((len(sel), max_chart, max_chart)
+                                            + channels)
+        if face_gain is not None:
+            colors = colors + face_gain[sel][:, None, None]
+
+        for si, f in enumerate(sel):
+            fw, fh = atlas.face_wh[f]
+            fw, fh = min(int(fw), max_chart), min(int(fh), max_chart)
+            x0, y0 = atlas.face_uv0[f]
+            page[y0:y0 + fh, x0:x0 + fw] = colors[si, :fh, :fw]
+    return np.clip(page, 0.0, 1.0)
+
+
+# ----------------------------------------------------------------------------
+# Global seam leveling
+# ----------------------------------------------------------------------------
+
+
+def face_adjacency(faces: np.ndarray) -> np.ndarray:
+    """[E,2] pairs of faces sharing an edge (host-side)."""
+    edge_map = {}
+    pairs = []
+    for f, tri in enumerate(np.asarray(faces)):
+        for a, b in ((0, 1), (1, 2), (2, 0)):
+            key = (min(tri[a], tri[b]), max(tri[a], tri[b]))
+            if key in edge_map:
+                pairs.append((edge_map[key], f))
+            else:
+                edge_map[key] = f
+    return np.asarray(pairs, np.int32).reshape(-1, 2)
+
+
+def global_seam_leveling(face_colors: np.ndarray, best_view: np.ndarray,
+                         adjacency: np.ndarray, reg: float = 1e-3,
+                         iterations: int = 200) -> np.ndarray:
+    """Per-face additive gain g minimizing
+    sum_adj (g_a - g_b + c_a - c_b)^2 [only across view seams] + reg*sum g^2
+    — texrecon's global seam leveling reduced to the face graph, solved with
+    Jacobi sweeps in JAX. face_colors: [F] mean sampled luminance per face.
+    Returns gains [F]."""
+    if len(adjacency) == 0:
+        return np.zeros(len(face_colors))
+    a = jnp.asarray(adjacency[:, 0])
+    b = jnp.asarray(adjacency[:, 1])
+    seam = (jnp.asarray(best_view)[a] != jnp.asarray(best_view)[b]).astype(jnp.float32)
+    # seam edges demand g_a - g_b = c_b - c_a; same-view edges act as
+    # smoothness (target 0, lower weight) so corrections diffuse into charts
+    w = jnp.where(seam > 0, 1.0, 0.25)
+    c = jnp.asarray(face_colors, jnp.float32)
+    target = (c[b] - c[a]) * seam
+    F = len(face_colors)
+    denom = jnp.full(F, reg, jnp.float32)
+    denom = denom.at[a].add(w).at[b].add(w)
+
+    omega = 0.7  # damped Jacobi: plain Jacobi oscillates on seam pairs
+
+    def sweep(_, g):
+        rhs = jnp.zeros(F, jnp.float32)
+        rhs = rhs.at[a].add(w * (g[b] + target))
+        rhs = rhs.at[b].add(w * (g[a] - target))
+        return (1.0 - omega) * g + omega * rhs / denom
+
+    g = jax.lax.fori_loop(0, iterations, sweep, jnp.zeros(F, jnp.float32))
+    return np.asarray(g)
+
+
+# ----------------------------------------------------------------------------
+# OBJ/MTL output
+# ----------------------------------------------------------------------------
+
+
+def write_textured_obj(prefix, vertices: np.ndarray, faces: np.ndarray,
+                       atlas: Atlas, texture_page: np.ndarray):
+    """OBJ + MTL + PNG output (formObjCustomUV/formMtl/isaac_save_model,
+    texture_processing.cc:884-988,492-535). Per-face UVs from the atlas."""
+    prefix = Path(prefix)
+    prefix.parent.mkdir(parents=True, exist_ok=True)
+    obj_path = prefix.with_suffix(".obj")
+    mtl_path = prefix.with_suffix(".mtl")
+    png_path = prefix.with_suffix(".png")
+
+    from PIL import Image
+    img = (np.clip(texture_page, 0, 1) * 255).astype(np.uint8)
+    Image.fromarray(img).save(png_path)
+
+    W, H = atlas.size
+    tri = vertices[faces]
+    rel = tri - atlas.face_origin3d[:, None, :]
+    pu = np.einsum("fij,fj->fi", rel, atlas.face_basis[:, 0]) / atlas.pixel_size
+    pv = np.einsum("fij,fj->fi", rel, atlas.face_basis[:, 1]) / atlas.pixel_size
+    us = (atlas.face_uv0[:, 0:1] + pu) / W
+    vs = 1.0 - (atlas.face_uv0[:, 1:2] + pv) / H
+
+    with open(mtl_path, "w") as m:
+        m.write(f"newmtl textured\nmap_Kd {png_path.name}\n")
+    with open(obj_path, "w") as o:
+        o.write(f"mtllib {mtl_path.name}\nusemtl textured\n")
+        for v in vertices:
+            o.write(f"v {v[0]} {v[1]} {v[2]}\n")
+        for f in range(len(faces)):
+            for k in range(3):
+                o.write(f"vt {us[f, k]} {vs[f, k]}\n")
+        for f, tri_i in enumerate(faces):
+            t0 = 3 * f + 1
+            o.write(f"f {tri_i[0]+1}/{t0} {tri_i[1]+1}/{t0+1} {tri_i[2]+1}/{t0+2}\n")
+    return obj_path
