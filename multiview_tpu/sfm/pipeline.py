@@ -1,0 +1,115 @@
+"""Front-end orchestration: detect + match + verify + track-build across an
+image sequence.
+
+The role of ``detectMatchFeatures``
+(`/root/reference/rig_calibrator/src/interest_point.cc:453-647`): detect
+features in every image, match each image against the next ``num_overlaps``
+images in time, RANSAC-filter each pair (affine2D, 20px), optionally filter
+by reprojection against known cameras (matchFeaturesWithCams,
+:181-301), then merge pairwise matches into tracks. The reference
+parallelizes with a pthread pool; here detection batches per image on
+device and pair matching is one MXU matmul per pair.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from multiview_tpu.sfm import features as feat_mod
+from multiview_tpu.sfm import matching as match_mod
+from multiview_tpu.sfm import ransac as ransac_mod
+from multiview_tpu.sfm import tracks as tracks_mod
+from multiview_tpu.geometry import pose as pose_mod
+from multiview_tpu.geometry import triangulation as tri_mod
+
+
+@dataclasses.dataclass
+class FrontendConfig:
+    max_features: int = 1000          # reference SIFT default is 10000
+    ratio: float = 0.8                # FLANN ratio test (matching.cc:205-210)
+    ransac_threshold: float = 20.0    # estimateAffine2D thresh (interest_point.cc:134)
+    num_overlaps: int = 2             # pair set: each image vs next k (ip.cc:498-502)
+    min_pair_matches: int = 8
+    cam_filter_reproj_px: Optional[float] = None  # matchFeaturesWithCams gate
+
+
+def detect_all(images: Sequence[np.ndarray], cfg: FrontendConfig):
+    """Detect + describe every image. Returns (keypoints list, descriptor list)."""
+    kps, descs = [], []
+    for img in images:
+        kp, d = feat_mod.detect_and_describe(jnp.asarray(img, jnp.float32),
+                                             max_features=cfg.max_features)
+        kps.append(kp)
+        descs.append(d)
+    return kps, descs
+
+
+def match_pair(kp_i, d_i, kp_j, d_j, cfg: FrontendConfig, seed: int = 0):
+    """Descriptor match + ratio test + affine RANSAC for one image pair.
+    Returns (xy_i [K,2], xy_j [K,2]) inlier correspondences."""
+    import jax
+    pairs, keep = match_mod.match_descriptors(d_i, d_j, ratio=cfg.ratio)
+    keep = np.asarray(keep & kp_i.valid & kp_j.valid[pairs[:, 1]])
+    if keep.sum() < 3:
+        return np.zeros((0, 2)), np.zeros((0, 2))
+    p1 = np.asarray(kp_i.xy)[keep]
+    p2 = np.asarray(kp_j.xy)[np.asarray(pairs[:, 1])[keep]]
+    res = ransac_mod.ransac_affine2d(jnp.asarray(p1), jnp.asarray(p2),
+                                     threshold=cfg.ransac_threshold,
+                                     key=jax.random.PRNGKey(seed))
+    inl = np.asarray(res.inliers)
+    return p1[inl], p2[inl]
+
+
+def cam_guided_filter(xy_i, xy_j, cam_i, cam_j, w2c_i, w2c_j,
+                      max_reproj_px: float):
+    """Reject matches whose two-view triangulation reprojects badly
+    (matchFeaturesWithCams, interest_point.cc:181-301)."""
+    from multiview_tpu.geometry.camera import DISTORTED, UNDISTORTED_C
+    if len(xy_i) == 0:
+        return xy_i, xy_j
+    ui = np.asarray(cam_i.convert(jnp.asarray(xy_i), DISTORTED, UNDISTORTED_C))
+    uj = np.asarray(cam_j.convert(jnp.asarray(xy_j), DISTORTED, UNDISTORTED_C))
+    keep = np.zeros(len(xy_i), bool)
+    fi, fj = float(cam_i.mean_focal), float(cam_j.mean_focal)
+    Pi = tri_mod.projection_matrix(jnp.asarray([fi, fj]),
+                                   jnp.stack([jnp.asarray(w2c_i), jnp.asarray(w2c_j)]))
+    for k in range(len(xy_i)):
+        pix = jnp.asarray(np.stack([ui[k], uj[k]]))
+        X, _, ok = tri_mod.triangulate_track(Pi, pix, jnp.ones(2, bool))
+        # reproject
+        for (cam, w2c, meas) in ((cam_i, w2c_i, xy_i[k]), (cam_j, w2c_j, xy_j[k])):
+            Xc = pose_mod.pose_apply(jnp.asarray(w2c), X)
+            pred = np.asarray(cam.project_cam_to_dist_pix(Xc))
+            ok = ok & (np.linalg.norm(pred - meas) <= max_reproj_px)
+        keep[k] = bool(ok)
+    return xy_i[keep], xy_j[keep]
+
+
+def detect_match_features(images: Sequence[np.ndarray], cfg: FrontendConfig = FrontendConfig(),
+                          cam_params: Optional[Sequence] = None,
+                          world_to_cam: Optional[np.ndarray] = None,
+                          cams_of_image: Optional[Sequence[int]] = None
+                          ) -> tracks_mod.TrackSet:
+    """Full front-end: images -> TrackSet. With cam_params/world_to_cam
+    given, applies the camera-guided reprojection filter per pair."""
+    kps, descs = detect_all(images, cfg)
+    n = len(images)
+    pair_matches: Dict[Tuple[int, int], Tuple[np.ndarray, np.ndarray]] = {}
+    for i in range(n):
+        for j in range(i + 1, min(i + 1 + cfg.num_overlaps, n)):
+            xi, xj = match_pair(kps[i], descs[i], kps[j], descs[j], cfg,
+                                seed=i * 1000 + j)
+            if cfg.cam_filter_reproj_px is not None and cam_params is not None:
+                ci = cam_params[cams_of_image[i]]
+                cj = cam_params[cams_of_image[j]]
+                xi, xj = cam_guided_filter(xi, xj, ci, cj, world_to_cam[i],
+                                           world_to_cam[j],
+                                           cfg.cam_filter_reproj_px)
+            if len(xi) >= cfg.min_pair_matches:
+                pair_matches[(i, j)] = (xi, xj)
+    return tracks_mod.build_tracks(pair_matches, n)

@@ -1,0 +1,105 @@
+"""Image undistortion (the ``undistort_image_texrecon`` tool role,
+`/root/reference/rig_calibrator/bin/undistort_image_texrecon.cc:84-368`):
+build the full-image remap table, tame out-of-range remap values near the
+border, resample, optionally crop a central window, and report the
+undistorted intrinsics."""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from multiview_tpu.geometry.camera import CameraParams, UNDISTORTED, DISTORTED
+
+
+def undistort_image(img, cam: CameraParams, crop_window: Optional[Tuple[int, int]] = None,
+                    tame_px: float = 100.0):
+    """Undistort an image through the camera model.
+
+    img: [H,W] or [H,W,C] float. Returns (undistorted image at the camera's
+    undistorted size (or cropped window), K matrix of the output).
+
+    The remap is the batched UNDISTORTED->DISTORTED conversion; values more
+    than ``tame_px`` beyond the image are clamped (the reference's taming of
+    wild remap values, undistort_image_texrecon.cc:217-260).
+    """
+    img = jnp.asarray(img)
+    W_u, H_u = cam.undistorted_size
+    W_d, H_d = cam.distorted_size
+
+    xs = jnp.arange(W_u, dtype=cam.dtype)
+    ys = jnp.arange(H_u, dtype=cam.dtype)
+    grid = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), axis=-1)  # [H_u,W_u,2]
+    dist = cam.convert(grid, UNDISTORTED, DISTORTED)
+    dist_x = jnp.clip(dist[..., 0], -tame_px, W_d - 1 + tame_px)
+    dist_y = jnp.clip(dist[..., 1], -tame_px, H_d - 1 + tame_px)
+
+    def sample(channel):
+        return jax.scipy.ndimage.map_coordinates(channel, [dist_y, dist_x],
+                                                 order=1, mode="constant")
+
+    if img.ndim == 2:
+        out = sample(img)
+    else:
+        out = jnp.stack([sample(img[..., c]) for c in range(img.shape[-1])], -1)
+
+    K = np.asarray(cam.intrinsic_matrix(UNDISTORTED))
+    if crop_window is not None:
+        cw, ch = crop_window
+        x0 = (W_u - cw) // 2
+        y0 = (H_u - ch) // 2
+        out = out[y0:y0 + ch, x0:x0 + cw]
+        K = K.copy()
+        K[0, 2] -= x0
+        K[1, 2] -= y0
+    return np.asarray(out), K
+
+
+def write_tsai_camera(path, K: np.ndarray, cam_to_world: np.ndarray):
+    """ASP Pinhole .tsai camera file (write_asp_and_voxblox_cameras role,
+    `bin/rig_utils.py:318-356`)."""
+    from pathlib import Path
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    R = cam_to_world[:3, :3]
+    c = cam_to_world[:3, 3]
+    lines = [
+        "VERSION_4",
+        "PINHOLE",
+        f"fu = {float(K[0, 0])!r}",
+        f"fv = {float(K[1, 1])!r}",
+        f"cu = {float(K[0, 2])!r}",
+        f"cv = {float(K[1, 2])!r}",
+        "u_direction = 1 0 0",
+        "v_direction = 0 1 0",
+        "w_direction = 0 0 1",
+        "C = " + " ".join(repr(float(v)) for v in c),
+        "R = " + " ".join(repr(float(v)) for v in R.ravel()),
+        "pitch = 1",
+        "NULL",
+    ]
+    path.write_text("\n".join(lines) + "\n")
+
+
+def write_texrecon_cam(path, K: np.ndarray, world_to_cam: np.ndarray,
+                       image_size: Tuple[int, int]):
+    """mvs-texturing .cam file: 'tx ty tz R(9)' then normalized
+    'f 0 0 paspect ppx ppy' (convert_intrinsics_to_texrecon,
+    `bin/texrecon:90-131`)."""
+    from pathlib import Path
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    R = world_to_cam[:3, :3]
+    t = world_to_cam[:3, 3]
+    W, H = image_size
+    maxdim = max(W, H)
+    f_norm = K[0, 0] / maxdim
+    ppx = K[0, 2] / W
+    ppy = K[1, 2] / H
+    line1 = " ".join(repr(float(v)) for v in t) + " " + \
+        " ".join(repr(float(v)) for v in R.ravel())
+    line2 = f"{float(f_norm)!r} 0 0 1 {float(ppx)!r} {float(ppy)!r}"
+    path.write_text(line1 + "\n" + line2 + "\n")
