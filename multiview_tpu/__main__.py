@@ -1,0 +1,43 @@
+"""CLI dispatcher: ``python -m multiview_tpu <tool> ...``.
+
+Tools mirror the reference's executables/wrappers (SURVEY.md L5/L6):
+
+  calibrate   rig_calibrator   (multi-pass rig BA)
+  sfm-init    theia_sfm        (feature matching + global SfM -> NVM)
+  fuse-mesh   multi_stereo     (plane-sweep stereo + TSDF -> fused_mesh.ply)
+  texture     texrecon         (view selection + atlas -> textured OBJ)
+  fit-rpc     fit_rpc          (RPC distortion fitting)
+  undistort   undistort_image_texrecon
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    from multiview_tpu.tools import (calibrate, sfm_init, fuse_mesh,
+                                     texture_mesh, fit_rpc_tool, undistort_tool)
+
+    tools = {
+        "calibrate": calibrate,
+        "sfm-init": sfm_init,
+        "fuse-mesh": fuse_mesh,
+        "texture": texture_mesh,
+        "fit-rpc": fit_rpc_tool,
+        "undistort": undistort_tool,
+    }
+    parser = argparse.ArgumentParser(
+        prog="multiview_tpu",
+        description="TPU-native rig calibration and 3D reconstruction")
+    sub = parser.add_subparsers(dest="tool", required=True)
+    for name, mod in tools.items():
+        p = sub.add_parser(name, help=(mod.__doc__ or "").strip().splitlines()[0])
+        mod.add_args(p)
+    args = parser.parse_args(argv)
+    return tools[args.tool].run(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -122,10 +122,32 @@ def integrate_depth_image(grid: TsdfGrid, depth: jnp.ndarray, focal, center,
                                intensity=inten)
 
 
+def _fill_depth_holes(depth: jnp.ndarray, rounds: int = 2) -> jnp.ndarray:
+    """Fill empty z-buffer pixels from valid 3x3 neighbors (min depth wins);
+    a sparse scatter leaves holes the projective update would read as
+    'no measurement'."""
+    big = jnp.asarray(jnp.inf, depth.dtype)
+    d = jnp.where(depth > 0, depth, big)
+    for _ in range(rounds):
+        shifts = [d]
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                shifts.append(jnp.roll(d, (dy, dx), axis=(0, 1)))
+        m = shifts[0]
+        for s in shifts[1:]:
+            m = jnp.minimum(m, s)
+        d = jnp.where(jnp.isfinite(d), d, m)
+    return jnp.where(jnp.isfinite(d), d, 0.0)
+
+
 def rasterize_cloud_to_depth(points_cam: jnp.ndarray, focal, center,
                              image_size: Tuple[int, int],
-                             intensities: Optional[jnp.ndarray] = None):
-    """Unstructured cam-frame points -> z-buffer depth image (scatter-min).
+                             intensities: Optional[jnp.ndarray] = None,
+                             fill_rounds: int = 2):
+    """Unstructured cam-frame points -> z-buffer depth image (scatter-min)
+    with hole-filling dilation.
 
     Bridges the voxblox PCD-cloud input path into the projective integrator.
     Returns (depth [H,W], intensity [H,W] or None).
@@ -142,6 +164,8 @@ def rasterize_cloud_to_depth(points_cam: jnp.ndarray, focal, center,
     zbuf = jnp.full(H * W, big, points_cam.dtype)
     zbuf = zbuf.at[flat].min(jnp.where(ok, z, big))
     depth = jnp.where(jnp.isfinite(zbuf), zbuf, 0.0).reshape(H, W)
+    if fill_rounds > 0:
+        depth = _fill_depth_holes(depth, fill_rounds)
     inten_img = None
     if intensities is not None:
         # keep the intensity of the winning (nearest) point per pixel

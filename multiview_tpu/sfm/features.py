@@ -16,7 +16,7 @@ sfm/matching.py's MXU distance kernels.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
 import jax
@@ -48,6 +48,27 @@ def gaussian_blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
     x = jnp.pad(x, [(0, 0)] + pad, mode="reflect")
     x = jax.vmap(lambda row: jnp.convolve(row, k, mode="valid"))(x)
     return x
+
+
+def detect_and_describe_dynamic(img, max_features: int = 1000,
+                                min_features: Optional[int] = None,
+                                contrast_threshold: float = 0.015,
+                                max_retries: int = 5, **kw):
+    """Adaptive-threshold detection: halve the contrast threshold until at
+    least ``min_features`` keypoints are found (or retries run out) — the
+    role of the reference's DynamicDetector retry loop that tunes the SURF
+    Hessian threshold into a target range
+    (`/root/reference/rig_calibrator/src/matching.cc:48-183`)."""
+    if min_features is None:
+        min_features = max(8, max_features // 10)
+    th = contrast_threshold
+    for _ in range(max_retries):
+        kp, desc = detect_and_describe(img, max_features=max_features,
+                                       contrast_threshold=th, **kw)
+        if int(kp.valid.sum()) >= min_features:
+            return kp, desc
+        th *= 0.25
+    return kp, desc
 
 
 def detect_and_describe(img, max_features: int = 1000, num_scales: int = 3,

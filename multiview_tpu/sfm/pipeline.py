@@ -38,11 +38,12 @@ class FrontendConfig:
 
 
 def detect_all(images: Sequence[np.ndarray], cfg: FrontendConfig):
-    """Detect + describe every image. Returns (keypoints list, descriptor list)."""
+    """Detect + describe every image (adaptive threshold — the reference's
+    DynamicDetector behavior). Returns (keypoints list, descriptor list)."""
     kps, descs = [], []
     for img in images:
-        kp, d = feat_mod.detect_and_describe(jnp.asarray(img, jnp.float32),
-                                             max_features=cfg.max_features)
+        kp, d = feat_mod.detect_and_describe_dynamic(
+            jnp.asarray(img, jnp.float32), max_features=cfg.max_features)
         kps.append(kp)
         descs.append(d)
     return kps, descs

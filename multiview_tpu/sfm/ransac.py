@@ -58,6 +58,8 @@ def ransac_affine2d(src, dst, valid=None, threshold: float = 20.0,
     src = jnp.asarray(src)
     dst = jnp.asarray(dst)
     n = src.shape[0]
+    if n < 3:
+        return RansacResult(jnp.eye(2, 3), jnp.zeros(n, bool), jnp.asarray(0))
     if valid is None:
         valid = jnp.ones(n, bool)
     vf = valid.astype(src.dtype)
@@ -134,6 +136,8 @@ def ransac_essential(x1, x2, valid=None, threshold: float = 1e-3,
     x1 = jnp.asarray(x1)
     x2 = jnp.asarray(x2)
     n = x1.shape[0]
+    if n < 8:
+        return RansacResult(jnp.eye(3), jnp.zeros(n, bool), jnp.asarray(0))
     if valid is None:
         valid = jnp.ones(n, bool)
     probs = valid.astype(x1.dtype) / jnp.maximum(jnp.sum(valid), 1.0)

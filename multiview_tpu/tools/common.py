@@ -1,0 +1,95 @@
+"""Shared helpers for the CLI tools: rig-config <-> CameraParams conversion,
+image-directory scanning with timestamp-from-filename convention
+(<images_dir>/<sensor_name>/<timestamp>.<ext>), grayscale loading."""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from multiview_tpu.io import rig_config as rc
+from multiview_tpu.geometry.camera import CameraParams
+from multiview_tpu.calib.bracketing import ImageRecord
+
+
+def cam_params_from_sensor(s: rc.SensorConfig, dtype=None) -> CameraParams:
+    import jax.numpy as jnp
+    return CameraParams.create(
+        s.image_size, s.focal_length, s.optical_center, s.distortion,
+        undistorted_size=s.undistorted_image_size,
+        distorted_crop_size=s.distorted_crop_size,
+        dtype=dtype or jnp.float64)
+
+
+def sensor_from_cam_params(name: str, cam: CameraParams, ref_to_sensor=None,
+                           depth_to_image=None, timestamp_offset=0.0
+                           ) -> rc.SensorConfig:
+    return rc.SensorConfig(
+        name=name,
+        focal_length=float(cam.mean_focal),
+        optical_center=np.asarray(cam.optical_offset),
+        distortion=np.asarray(cam.dist_coeffs),
+        image_size=cam.distorted_size,
+        distorted_crop_size=cam.distorted_crop_size,
+        undistorted_image_size=cam.undistorted_size,
+        ref_to_sensor=np.eye(4) if ref_to_sensor is None else ref_to_sensor,
+        depth_to_image=np.eye(4) if depth_to_image is None else depth_to_image,
+        timestamp_offset=timestamp_offset)
+
+
+def load_gray(path) -> np.ndarray:
+    import imageio.v3 as iio
+    img = np.asarray(iio.imread(path)).astype(np.float32)
+    if img.ndim == 3:
+        img = img[..., :3].mean(-1)
+    if img.max() > 1.5:
+        img = img / 255.0
+    return img
+
+
+IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".tif", ".tiff", ".pgm")
+
+
+def scan_image_dir(images_dir, sensor_names: Sequence[str], load: bool = True
+                   ) -> List[List[ImageRecord]]:
+    """Per-sensor time-sorted ImageRecords; timestamp parsed from the file
+    stem (the reference's <sensor>/<timestamp>.ext layout)."""
+    images_dir = Path(images_dir)
+    out: List[List[ImageRecord]] = []
+    for name in sensor_names:
+        recs = []
+        d = images_dir / name
+        if d.is_dir():
+            for p in sorted(d.iterdir()):
+                if p.suffix.lower() not in IMAGE_EXTS:
+                    continue
+                try:
+                    ts = float(p.stem)
+                except ValueError:
+                    continue
+                recs.append(ImageRecord(ts, str(p), load_gray(p) if load else None))
+        recs.sort(key=lambda r: r.timestamp)
+        out.append(recs)
+    return out
+
+
+def scan_depth_dir(images_dir, sensor_names: Sequence[str]) -> List[List[ImageRecord]]:
+    """Per-sensor .pc depth clouds alongside images."""
+    from multiview_tpu.io import depth_io
+    images_dir = Path(images_dir)
+    out: List[List[ImageRecord]] = []
+    for name in sensor_names:
+        recs = []
+        d = images_dir / name
+        if d.is_dir():
+            for p in sorted(d.glob("*.pc")):
+                try:
+                    ts = float(p.stem)
+                except ValueError:
+                    continue
+                recs.append(ImageRecord(ts, str(p), depth_io.read_xyz_image(p)))
+        recs.sort(key=lambda r: r.timestamp)
+        out.append(recs)
+    return out

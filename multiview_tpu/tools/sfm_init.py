@@ -1,0 +1,114 @@
+"""``sfm-init`` tool — the theia_sfm wrapper equivalent
+(`/root/reference/rig_calibrator/bin/theia_sfm`): images -> features ->
+matches -> tracks -> global pose initialization -> triangulation -> NVM.
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+
+def add_args(p: argparse.ArgumentParser):
+    p.add_argument("--rig_config", required=True)
+    p.add_argument("--images", required=True)
+    p.add_argument("--out_dir", required=True)
+    p.add_argument("--num_overlaps", type=int, default=3)
+    p.add_argument("--max_features", type=int, default=1000)
+
+
+def run(args):
+    import jax.numpy as jnp
+    from multiview_tpu.io import rig_config as rc, nvm as nvm_io
+    from multiview_tpu.sfm import pipeline as fe, global_sfm
+    from multiview_tpu.sfm.tracks import tracks_to_arrays
+    from multiview_tpu.geometry import pose as pose_mod, triangulation as tri_mod
+    from multiview_tpu.geometry.camera import DISTORTED, UNDISTORTED_C
+    from multiview_tpu.tools import common
+
+    rig = rc.read_rig_config(args.rig_config)
+    sensor_names = [s.name for s in rig.sensors]
+    cam_params = [common.cam_params_from_sensor(s) for s in rig.sensors]
+
+    image_data = common.scan_image_dir(args.images, sensor_names)
+    records = [r for recs in image_data for r in recs]
+    records.sort(key=lambda r: r.timestamp)
+    sensors_of = []
+    for r in records:
+        sensors_of.append(sensor_names.index(Path(r.name).parent.name))
+    print(f"Found {len(records)} images")
+
+    cfg = fe.FrontendConfig(max_features=args.max_features,
+                            num_overlaps=args.num_overlaps)
+    trackset = fe.detect_match_features([r.payload for r in records], cfg)
+    print(f"Built {len(trackset.tracks)} tracks")
+
+    # pairwise unit-plane correspondences from the tracks
+    pair_data = {}
+    for pid, track in enumerate(trackset.tracks):
+        cids = sorted(track)
+        for a in range(len(cids)):
+            for b in range(a + 1, len(cids)):
+                i, j = cids[a], cids[b]
+                cpi, cpj = cam_params[sensors_of[i]], cam_params[sensors_of[j]]
+                ki = trackset.keypoints[i][track[i]]
+                kj = trackset.keypoints[j][track[j]]
+                ui = np.asarray(cpi.convert(jnp.asarray(ki), DISTORTED,
+                                            UNDISTORTED_C)) / float(cpi.mean_focal)
+                uj = np.asarray(cpj.convert(jnp.asarray(kj), DISTORTED,
+                                            UNDISTORTED_C)) / float(cpj.mean_focal)
+                pair_data.setdefault((i, j), ([], []))
+                pair_data[(i, j)][0].append(ui)
+                pair_data[(i, j)][1].append(uj)
+    pair_data = {k: (np.stack(v[0]), np.stack(v[1]))
+                 for k, v in pair_data.items() if len(v[0]) >= 16}
+    print(f"View graph edges: {len(pair_data)}")
+
+    poses = global_sfm.run_global_sfm(pair_data, len(records))
+
+    # triangulate all tracks with the initial poses
+    cam_idx, fid, pix, pid = tracks_to_arrays(trackset)
+    und_rows = []
+    focal_rows = []
+    for k in range(len(cam_idx)):
+        cp = cam_params[sensors_of[cam_idx[k]]]
+        und_rows.append(np.asarray(cp.convert(jnp.asarray(pix[k]), DISTORTED,
+                                              UNDISTORTED_C)))
+        focal_rows.append(float(cp.mean_focal))
+    und = np.stack(und_rows)
+    P = tri_mod.projection_matrix(jnp.asarray(focal_rows),
+                                  jnp.asarray(np.asarray(poses)[cam_idx]))
+    n_pts = len(trackset.tracks)
+    max_views = max(np.bincount(pid).max(), 2)
+    tb = np.full((n_pts, max_views), -1)
+    for k, p in enumerate(pid):
+        row = tb[p]
+        row[np.argmax(row < 0)] = k
+    idx = np.maximum(tb, 0)
+    valid = tb >= 0
+    xyz, _, ok = tri_mod.triangulate_tracks(
+        jnp.asarray(np.asarray(P)[idx]), jnp.asarray(und[idx]),
+        jnp.asarray(valid), 3)
+    print(f"Triangulated {int(np.asarray(ok).sum())}/{n_pts} tracks")
+
+    # write NVM (keypoints offset by optical center)
+    out = Path(args.out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    kp_off = []
+    for i, recs in enumerate(records):
+        s = sensors_of[i]
+        kp_off.append(trackset.keypoints[i] - np.asarray(rig.sensors[s].optical_center))
+    okm = np.asarray(ok)
+    data = nvm_io.NvmData(
+        cid_to_filename=[r.name for r in records],
+        focal_lengths=np.asarray([float(cam_params[s].mean_focal)
+                                  for s in sensors_of]),
+        cid_to_keypoint=kp_off,
+        pid_to_cid_fid=[t for p, t in enumerate(trackset.tracks) if okm[p]],
+        pid_to_xyz=np.asarray(xyz)[okm],
+        world_to_cam=np.asarray(pose_mod.pose_to_matrix(poses)))
+    nvm_io.write_nvm(out / "cameras.nvm", data)
+    print(f"Writing: {out/'cameras.nvm'}")
+    return 0

@@ -1,0 +1,91 @@
+"""``texture`` tool — the texrecon wrapper equivalent
+(`/root/reference/rig_calibrator/bin/texrecon`): mesh + calibrated images ->
+view selection -> atlas -> seam leveling -> textured OBJ/MTL/PNG.
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+
+def add_args(p: argparse.ArgumentParser):
+    p.add_argument("--rig_config", required=True)
+    p.add_argument("--camera_poses", required=True)
+    p.add_argument("--images", required=True)
+    p.add_argument("--mesh", required=True, help="PLY mesh to texture")
+    p.add_argument("--out_dir", required=True)
+    p.add_argument("--sensor", default=None)
+    p.add_argument("--pixel_size", type=float, default=0.01,
+                   help="texel size in meters (texture_processing.cc formModel)")
+    p.add_argument("--no_seam_leveling", action="store_true")
+    p.add_argument("--no_occlusion", action="store_true")
+
+
+def run(args):
+    import jax.numpy as jnp
+    from multiview_tpu.io import rig_config as rc, nvm as nvm_io, ply
+    from multiview_tpu.texture import texturing
+    from multiview_tpu.geometry import pose as pose_mod
+    from multiview_tpu.tools import common
+
+    rig = rc.read_rig_config(args.rig_config)
+    sensor_names = [s.name for s in rig.sensors]
+    cam_params = [common.cam_params_from_sensor(s) for s in rig.sensors]
+    pose_names, pose_mats = nvm_io.read_camera_poses(args.camera_poses)
+    name_to_pose = {Path(n).name: m for n, m in zip(pose_names, pose_mats)}
+
+    mesh = ply.read_ply(args.mesh)
+    verts = mesh["vertices"]
+    faces = mesh["faces"]
+    print(f"Mesh: {len(verts)} verts, {len(faces)} faces")
+
+    image_data = common.scan_image_dir(args.images, sensor_names)
+    images, poses, cams = [], [], []
+    for s, recs in enumerate(image_data):
+        if args.sensor and sensor_names[s] != args.sensor:
+            continue
+        for r in recs:
+            nm = Path(r.name).name
+            if nm in name_to_pose:
+                images.append(r.payload)
+                poses.append(np.asarray(pose_mod.matrix_to_pose(
+                    jnp.asarray(name_to_pose[nm]))))
+                cams.append(cam_params[s])
+    if not images:
+        raise SystemExit("No posed images found")
+    print(f"Texturing from {len(images)} views")
+
+    poses_j = jnp.asarray(np.stack(poses))
+    best, visible = texturing.view_selection(
+        jnp.asarray(verts), jnp.asarray(faces), poses_j,
+        occlusion=not args.no_occlusion)
+    atlas = texturing.build_atlas(verts, faces, pixel_size=args.pixel_size)
+
+    gains = None
+    if not args.no_seam_leveling:
+        # per-face mean luminance from a coarse sample (face centers)
+        ctr, _, _ = texturing.face_geometry(jnp.asarray(verts), jnp.asarray(faces))
+        face_lum = np.zeros(len(faces))
+        bv = np.asarray(best)
+        for v in range(len(images)):
+            sel = np.nonzero(np.asarray(visible) & (bv == v))[0]
+            if len(sel) == 0:
+                continue
+            Xc = pose_mod.pose_apply(poses_j[v], ctr[sel])
+            pix = cams[v].project_cam_to_dist_pix(Xc)
+            img = jnp.asarray(np.asarray(images[v], np.float32))
+            from multiview_tpu.texture.texturing import _bilinear
+            face_lum[sel] = np.asarray(_bilinear(img, pix[:, 0], pix[:, 1]))
+        adjacency = texturing.face_adjacency(faces)
+        gains = texturing.global_seam_leveling(face_lum, bv, adjacency)
+
+    page = texturing.render_atlas(atlas, verts, faces, best, visible, images,
+                                  cams, list(poses_j), face_gain=gains)
+    out = Path(args.out_dir)
+    obj = texturing.write_textured_obj(out / "textured_mesh", verts, faces,
+                                       atlas, page)
+    print(f"Writing: {obj}")
+    return 0

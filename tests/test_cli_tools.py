@@ -1,0 +1,195 @@
+"""End-to-end CLI tests: a synthetic workspace (rendered textured-plane
+images + rig config + camera poses) driven through every tool via
+``python -m multiview_tpu`` entry points (in-process)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from multiview_tpu.__main__ import main as cli_main
+from multiview_tpu.io import rig_config as rc, nvm as nvm_io, ply
+from multiview_tpu.geometry import pose as P
+from multiview_tpu.utils import synthetic as syn
+
+SIZE = (200, 150)  # W,H
+FOCAL = 180.0
+PLANE_Z = 0.0
+
+
+_TEX_GRID = np.random.default_rng(42).uniform(size=(512, 512)).astype(np.float32)
+
+
+def _terrain_height(x, y):
+    """Gentle relief so the scene is non-planar (a flat scene makes the
+    essential matrix degenerate)."""
+    return 0.25 * np.sin(1.7 * x) * np.cos(1.3 * y)
+
+
+def render_plane_image(cam_to_world, seed=0):
+    """Textured terrain z = h(x,y) rendered by bisection along each ray."""
+    W, H = SIZE
+    us, vs = np.meshgrid(np.arange(W), np.arange(H))
+    d = np.stack([(us - W / 2.0) / FOCAL, (vs - H / 2.0) / FOCAL,
+                  np.ones_like(us, float)], -1)
+    M = np.asarray(P.pose_to_matrix(jnp.asarray(cam_to_world)))
+    o = M[:3, 3]
+    dw = d @ M[:3, :3].T
+
+    # bisect f(t) = o_z + t d_z - h(x(t), y(t)) on [t_lo, t_hi]
+    t_lo = np.full(us.shape, 0.2)
+    t_hi = np.full(us.shape, 8.0)
+    for _ in range(40):
+        t_mid = 0.5 * (t_lo + t_hi)
+        p = o + t_mid[..., None] * dw
+        above = p[..., 2] > _terrain_height(p[..., 0], p[..., 1])
+        t_lo = np.where(above, t_mid, t_lo)
+        t_hi = np.where(above, t_hi, t_mid)
+    pts = o + (0.5 * (t_lo + t_hi))[..., None] * dw
+    gi = np.mod(np.floor(pts[..., 0] * 10).astype(int), 512)
+    gj = np.mod(np.floor(pts[..., 1] * 10).astype(int), 512)
+    img = _TEX_GRID[gi, gj]
+    return np.clip(img, 0, 1).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    """Disk workspace: rig_config, images, cameras.txt, ground truth poses."""
+    import imageio.v3 as iio
+    ws = tmp_path_factory.mktemp("ws")
+    sensors = [rc.SensorConfig(
+        name="nav_cam", focal_length=FOCAL,
+        optical_center=np.array([SIZE[0] / 2.0, SIZE[1] / 2.0]),
+        distortion=np.array([]), image_size=SIZE,
+        distorted_crop_size=SIZE, undistorted_image_size=SIZE,
+        ref_to_sensor=np.eye(4), depth_to_image=np.eye(4),
+        timestamp_offset=0.0)]
+    rc.write_rig_config(ws / "rig_config.txt", rc.RigConfig(sensors))
+
+    img_dir = ws / "images" / "nav_cam"
+    img_dir.mkdir(parents=True)
+    names, mats = [], []
+    n = 5
+    for i in range(n):
+        t = float(10000 + i)
+        # camera 2m above the plane, slight lateral motion + tilt
+        pos = np.array([0.4 * i, 0.1 * i, 2.0 + 0.05 * i])
+        target = pos + np.array([0.15, 0.0, -1.0])  # near-nadir view
+        w2c = syn.look_at_pose(pos, target)
+        c2w = np.asarray(P.pose_inverse(jnp.asarray(w2c)))
+        img = render_plane_image(c2w)
+        path = img_dir / f"{t:.1f}.png"
+        iio.imwrite(path, (img * 255).astype(np.uint8))
+        names.append(str(path))
+        mats.append(np.asarray(P.pose_to_matrix(jnp.asarray(w2c))))
+    nvm_io.write_camera_poses(ws / "cameras.txt", names, np.stack(mats))
+    return ws
+
+
+class TestCalibrateTool:
+    def test_calibrate_no_rig(self, workspace, tmp_path):
+        out = tmp_path / "calib"
+        ret = cli_main([
+            "calibrate", "--rig_config", str(workspace / "rig_config.txt"),
+            "--camera_poses", str(workspace / "cameras.txt"),
+            "--images", str(workspace / "images"),
+            "--out_dir", str(out), "--no_rig",
+            "--num_iterations", "10", "--calibrator_num_passes", "1",
+            "--max_features", "300", "--save_nvm"])
+        assert ret == 0
+        rig2 = rc.read_rig_config(out / "rig_config.txt")
+        assert rig2.sensors[0].name == "nav_cam"
+        names, mats = nvm_io.read_camera_poses(out / "cameras.txt")
+        assert len(names) == 5
+        nvm = nvm_io.read_nvm(out / "cameras.nvm")
+        assert len(nvm.pid_to_cid_fid) > 20
+
+
+class TestSfmInitTool:
+    def test_sfm_init(self, workspace, tmp_path):
+        out = tmp_path / "sfm"
+        ret = cli_main([
+            "sfm-init", "--rig_config", str(workspace / "rig_config.txt"),
+            "--images", str(workspace / "images"),
+            "--out_dir", str(out), "--max_features", "300"])
+        assert ret == 0
+        nvm = nvm_io.read_nvm(out / "cameras.nvm")
+        assert len(nvm.cid_to_filename) == 5
+        assert len(nvm.pid_to_cid_fid) > 20
+        # camera centers spread roughly linearly (the true trajectory)
+        ctrs = np.stack([-M[:3, :3].T @ M[:3, 3] for M in nvm.world_to_cam])
+        d01 = np.linalg.norm(ctrs[1] - ctrs[0])
+        d04 = np.linalg.norm(ctrs[4] - ctrs[0])
+        assert d04 > 2.5 * d01
+
+
+class TestFuseMeshTool:
+    def test_fuse_mesh(self, workspace, tmp_path):
+        out = tmp_path / "fused"
+        ret = cli_main([
+            "fuse-mesh", "--rig_config", str(workspace / "rig_config.txt"),
+            "--camera_poses", str(workspace / "cameras.txt"),
+            "--images", str(workspace / "images"),
+            "--out_dir", str(out),
+            "--min_depth", "1.0", "--max_depth", "4.0",
+            "--num_planes", "48", "--voxel_size", "0.08"])
+        assert ret == 0
+        mesh = ply.read_ply(out / "fused_mesh.ply")
+        assert len(mesh["vertices"]) > 50
+        # reconstructed surface is the z=0 plane
+        z = mesh["vertices"][:, 2]
+        assert abs(np.median(z)) < 0.2, f"median z {np.median(z)}"  # terrain relief +-0.25
+
+    def test_texture_tool(self, workspace, tmp_path):
+        fused = tmp_path / "fused2"
+        cli_main([
+            "fuse-mesh", "--rig_config", str(workspace / "rig_config.txt"),
+            "--camera_poses", str(workspace / "cameras.txt"),
+            "--images", str(workspace / "images"),
+            "--out_dir", str(fused),
+            "--min_depth", "1.0", "--max_depth", "4.0",
+            "--num_planes", "48", "--voxel_size", "0.1"])
+        out = tmp_path / "tex"
+        ret = cli_main([
+            "texture", "--rig_config", str(workspace / "rig_config.txt"),
+            "--camera_poses", str(workspace / "cameras.txt"),
+            "--images", str(workspace / "images"),
+            "--mesh", str(fused / "fused_mesh.ply"),
+            "--out_dir", str(out), "--pixel_size", "0.05",
+            "--no_occlusion"])
+        assert ret == 0
+        assert (out / "textured_mesh.obj").exists()
+        assert (out / "textured_mesh.png").exists()
+        import imageio.v3 as iio
+        page = np.asarray(iio.imread(out / "textured_mesh.png"))
+        assert page.std() > 10  # actual texture content, not a flat page
+
+
+class TestSmallTools:
+    def test_fit_rpc_tool(self, tmp_path):
+        sensors = [rc.SensorConfig(
+            name="cam", focal_length=300.0,
+            optical_center=np.array([160.0, 120.0]),
+            distortion=np.array([-0.1, 0.02, 1e-4, -1e-4]),
+            image_size=(320, 240), distorted_crop_size=(320, 240),
+            undistorted_image_size=(320, 240),
+            ref_to_sensor=np.eye(4), depth_to_image=np.eye(4))]
+        rc.write_rig_config(tmp_path / "rig_config.txt", rc.RigConfig(sensors))
+        out = tmp_path / "rpc"
+        ret = cli_main([
+            "fit-rpc", "--rig_config", str(tmp_path / "rig_config.txt"),
+            "--out_dir", str(out), "--rpc_degree", "2",
+            "--num_samples", "15", "--num_iterations", "30"])
+        assert ret == 0
+        rig2 = rc.read_rig_config(out / "rig_config.txt")
+        assert rig2.sensors[0].model == "rpc"
+
+    def test_undistort_tool(self, workspace, tmp_path):
+        img = sorted((workspace / "images" / "nav_cam").glob("*.png"))[0]
+        out = tmp_path / "und"
+        ret = cli_main([
+            "undistort", "--rig_config", str(workspace / "rig_config.txt"),
+            "--sensor", "nav_cam", "--images", str(img),
+            "--out_dir", str(out)])
+        assert ret == 0
+        assert (out / img.name).exists()
+        assert (out / "undistorted_intrinsics.txt").exists()
