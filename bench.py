@@ -28,12 +28,54 @@ import numpy as np
 BASELINE_ITERS_PER_SEC = 5.0
 
 
+def bench_matching():
+    """Secondary: descriptor-matching kernel throughput (stderr only)."""
+    import sys
+    import jax
+    import jax.numpy as jnp
+    from multiview_tpu.sfm import matching
+
+    n = m = 8192
+    d = 128
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (n, d), jnp.float32)
+    t = jax.random.normal(jax.random.PRNGKey(1), (m, d), jnp.float32)
+
+    fn = jax.jit(matching.knn2)
+    jax.block_until_ready(fn(q, t))
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(q, t))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    gflops = 2.0 * n * m * d / dt / 1e9
+    print(f"[bench] matching knn2 {n}x{m}x{d}: {dt*1e3:.2f} ms, "
+          f"{gflops:.0f} GFLOP/s", file=sys.stderr)
+
+    try:
+        pfn = jax.jit(lambda a, b: matching.matched_pairs_pallas(a, b))
+        jax.block_until_ready(pfn(q, t))
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            jax.block_until_ready(pfn(q, t))
+            times.append(time.perf_counter() - t0)
+        dtp = min(times)
+        print(f"[bench] matching pallas fused: {dtp*1e3:.2f} ms, "
+              f"{2.0*n*m*d/dtp/1e9:.0f} GFLOP/s", file=sys.stderr)
+    except Exception as e:  # pallas may be unavailable off-TPU
+        print(f"[bench] pallas kernel skipped: {e}", file=sys.stderr)
+
+
 def main():
     import jax
     import jax.numpy as jnp
     from multiview_tpu.calib import problem as prob
     from multiview_tpu.solver import schur
     from multiview_tpu.utils import synthetic as syn
+
+    bench_matching()
 
     dtype = jnp.float32
 

@@ -53,66 +53,86 @@ class TrackSet:
 def dedup_keypoints(pair_matches: Dict[Tuple[int, int], Tuple[np.ndarray, np.ndarray]],
                     num_images: int):
     """Assign a feature id per unique (x,y) in each image
-    (interest_point.cc:527-556). Returns (keypoints per image, match index
-    pairs per image pair)."""
-    kp_maps: List[Dict[Tuple[float, float], int]] = [dict() for _ in range(num_images)]
+    (interest_point.cc:527-556), native hash-map core. Returns (keypoints
+    per image, match index pairs per image pair)."""
+    from multiview_tpu import native
 
-    def fid_of(cid, xy):
-        key = (float(xy[0]), float(xy[1]))
-        m = kp_maps[cid]
-        if key not in m:
-            m[key] = len(m)
-        return m[key]
+    # gather every coordinate row per image, remembering where it came from
+    coords: List[List[np.ndarray]] = [[] for _ in range(num_images)]
+    slots: List[List[Tuple[Tuple[int, int], int]]] = [[] for _ in range(num_images)]
+    for (ci, cj), (left, right) in pair_matches.items():
+        coords[ci].append(np.asarray(left, np.float64).reshape(-1, 2))
+        slots[ci].append(((ci, cj), 0))
+        coords[cj].append(np.asarray(right, np.float64).reshape(-1, 2))
+        slots[cj].append(((ci, cj), 1))
+
+    keypoints: List[np.ndarray] = []
+    ids_of: Dict[Tuple[Tuple[int, int], int], np.ndarray] = {}
+    for cid in range(num_images):
+        if coords[cid]:
+            allc = np.concatenate(coords[cid])
+            ids, uniq = native.dedup_keypoints_array(allc)
+            keypoints.append(uniq)
+            off = 0
+            for block, key in zip(coords[cid], slots[cid]):
+                ids_of[key] = ids[off:off + len(block)]
+                off += len(block)
+        else:
+            keypoints.append(np.zeros((0, 2)))
 
     indexed: Dict[Tuple[int, int], np.ndarray] = {}
-    for (ci, cj), (left, right) in pair_matches.items():
-        rows = np.empty((len(left), 2), np.int64)
-        for k in range(len(left)):
-            rows[k, 0] = fid_of(ci, left[k])
-            rows[k, 1] = fid_of(cj, right[k])
-        indexed[(ci, cj)] = rows
-
-    keypoints = []
-    for cid in range(num_images):
-        arr = np.zeros((len(kp_maps[cid]), 2))
-        for (x, y), fid in kp_maps[cid].items():
-            arr[fid] = (x, y)
-        keypoints.append(arr)
+    for (ci, cj) in pair_matches:
+        indexed[(ci, cj)] = np.stack(
+            [ids_of[((ci, cj), 0)], ids_of[((ci, cj), 1)]], axis=1)
     return keypoints, indexed
 
 
 def build_tracks(pair_matches: Dict[Tuple[int, int], Tuple[np.ndarray, np.ndarray]],
                  num_images: int, min_track_len: int = 2) -> TrackSet:
-    """Union-find merge + conflict filter (TracksBuilder::Build/Filter).
+    """Union-find merge + conflict filter (TracksBuilder::Build/Filter),
+    native union-find core + vectorized grouping.
 
     pair_matches: {(cid_i, cid_j): (left_xy [K,2], right_xy [K,2])}.
     """
+    from multiview_tpu import native
+
     keypoints, indexed = dedup_keypoints(pair_matches, num_images)
 
     offsets = np.zeros(num_images + 1, np.int64)
     for cid in range(num_images):
         offsets[cid + 1] = offsets[cid] + len(keypoints[cid])
-    uf = UnionFind(int(offsets[-1]))
+    total = int(offsets[-1])
 
+    edge_rows = []
     for (ci, cj), rows in indexed.items():
-        for fi, fj in rows:
-            uf.union(offsets[ci] + fi, offsets[cj] + fj)
+        e = rows.copy()
+        e[:, 0] += offsets[ci]
+        e[:, 1] += offsets[cj]
+        edge_rows.append(e)
+    if not edge_rows:
+        return TrackSet(keypoints, [])
+    edges = np.concatenate(edge_rows)
+    roots = native.union_find_roots(total, edges)
 
-    # gather members per root
-    groups: Dict[int, List[Tuple[int, int]]] = {}
-    for cid in range(num_images):
-        for fid in range(len(keypoints[cid])):
-            root = uf.find(int(offsets[cid] + fid))
-            groups.setdefault(root, []).append((cid, fid))
+    # vectorized grouping: node -> (root, cid, fid)
+    cid_of = np.repeat(np.arange(num_images),
+                       np.diff(offsets).astype(int))
+    fid_of = np.arange(total) - offsets[cid_of]
+    order = np.argsort(roots, kind="stable")
+    r_sorted = roots[order]
+    starts = np.nonzero(np.r_[True, r_sorted[1:] != r_sorted[:-1]])[0]
+    bounds = np.r_[starts, total]
 
     tracks = []
-    for members in groups.values():
+    for k in range(len(starts)):
+        members = order[bounds[k]:bounds[k + 1]]
         if len(members) < min_track_len:
             continue
-        cids = [c for c, _ in members]
-        if len(set(cids)) != len(cids):
+        cids = cid_of[members]
+        if len(np.unique(cids)) != len(cids):
             continue  # conflict: same image twice (TracksBuilder::Filter)
-        tracks.append({c: f for c, f in sorted(members)})
+        srt = np.argsort(cids)
+        tracks.append({int(cids[m]): int(fid_of[members[m]]) for m in srt})
     return TrackSet(keypoints, tracks)
 
 
