@@ -37,35 +37,28 @@ def bench_matching():
 
     n = m = 8192
     d = 128
-    key = jax.random.PRNGKey(0)
-    q = jax.random.normal(key, (n, d), jnp.float32)
-    t = jax.random.normal(jax.random.PRNGKey(1), (m, d), jnp.float32)
+    reps = 8
+    # distinct inputs per repetition so no result caching can fake the timing
+    qs = [jax.random.normal(jax.random.PRNGKey(2 * i), (n, d), jnp.float32)
+          for i in range(reps)]
+    ts = [jax.random.normal(jax.random.PRNGKey(2 * i + 1), (m, d), jnp.float32)
+          for i in range(reps)]
 
-    fn = jax.jit(matching.knn2)
-    jax.block_until_ready(fn(q, t))
-    times = []
-    for _ in range(5):
+    def timed(fn, tag):
+        jax.block_until_ready(fn(qs[0], ts[0]))
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(q, t))
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
-    gflops = 2.0 * n * m * d / dt / 1e9
-    print(f"[bench] matching knn2 {n}x{m}x{d}: {dt*1e3:.2f} ms, "
-          f"{gflops:.0f} GFLOP/s", file=sys.stderr)
+        outs = [fn(qs[i], ts[i]) for i in range(reps)]
+        jax.block_until_ready(outs)
+        dt = (time.perf_counter() - t0) / reps
+        print(f"[bench] {tag} {n}x{m}x{d}: {dt*1e3:.2f} ms, "
+              f"{2.0*n*m*d/dt/1e9:.0f} GFLOP/s", file=sys.stderr)
 
+    timed(jax.jit(matching.knn2), "matching knn2")
     try:
-        pfn = jax.jit(lambda a, b: matching.matched_pairs_pallas(a, b))
-        jax.block_until_ready(pfn(q, t))
-        times = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            jax.block_until_ready(pfn(q, t))
-            times.append(time.perf_counter() - t0)
-        dtp = min(times)
-        print(f"[bench] matching pallas fused: {dtp*1e3:.2f} ms, "
-              f"{2.0*n*m*d/dtp/1e9:.0f} GFLOP/s", file=sys.stderr)
+        timed(jax.jit(lambda a, b: matching.matched_pairs_pallas(a, b)),
+              "matching pallas fused")
     except Exception as e:  # pallas may be unavailable off-TPU
-        print(f"[bench] pallas kernel skipped: {e}", file=sys.stderr)
+        print(f"[bench] pallas kernel skipped: {str(e)[:200]}", file=sys.stderr)
 
 
 def main():

@@ -321,6 +321,8 @@ def optimize_rig(
     sensor_names: Optional[Sequence[str]] = None,
     backend: str = "auto",   # "schur" | "dense" | "auto"
     cg_iterations: int = 60,
+    checkpoint_dir: Optional[str] = None,
+    resume: bool = False,
     verbose: bool = False,
 ) -> CalibratorResult:
     """The reference's per-pass loop (rig_calibrator.cc:1550-1990).
@@ -358,7 +360,18 @@ def optimize_rig(
     stats_before = None
     lm_results = []
 
-    for pass_i in range(num_passes):
+    start_pass = 0
+    if resume and checkpoint_dir is not None:
+        from multiview_tpu.calib import checkpoint as ckpt_mod
+        done = ckpt_mod.latest_pass(checkpoint_dir)
+        if done is not None:
+            state, observations, done = ckpt_mod.load_checkpoint(
+                checkpoint_dir, state, observations)
+            start_pass = done + 1
+            if verbose:
+                print(f"Resumed from checkpoint after pass {done + 1}")
+
+    for pass_i in range(start_pass, num_passes):
         if verbose:
             print(f"\nOptimization pass {pass_i + 1} / {num_passes}")
 
@@ -418,6 +431,10 @@ def optimize_rig(
         observations = flag_outliers(
             state, observations, models, table, opts,
             min_triangulation_angle, max_reprojection_error, verbose=verbose)
+
+        if checkpoint_dir is not None:
+            from multiview_tpu.calib import checkpoint as ckpt_mod
+            ckpt_mod.save_checkpoint(checkpoint_dir, state, observations, pass_i)
 
     stats_after = residual_stats(state, observations, models, opts, sensor_names,
                                  tag="after opt" if verbose else "")

@@ -96,30 +96,35 @@ def matched_pairs_pallas(query, train, block_n: int = 256, block_m: int = 256,
     m = train.shape[0]
     assert n % block_n == 0 and m % block_m == 0, "pad inputs to block multiples"
 
-    qn_all = jnp.sum(query * query, axis=-1)
-    tn_all = jnp.sum(train * train, axis=-1)
+    # all buffers 2-D: 1-D memref tiles trip Mosaic's layout/alignment rules
+    qn_all = jnp.sum(query * query, axis=-1).reshape(n // block_n, block_n)
+    tn_all = jnp.sum(train * train, axis=-1).reshape(m // block_m, block_m)
 
     def kernel(q_ref, qn_ref, t_ref, tn_ref, best_ref, second_ref, idx_ref):
-        # q_ref: [block_n, d]; t_ref: [m, d] resident; walk m in block_m steps
+        # q_ref: [block_n, d]; t_ref: [m, d] resident; walk m in block_m steps.
+        # qn/outputs are full-resident [n//block_n, block_n]; the (sequential)
+        # grid index selects the row.
+        i = pl.program_id(0)
         q = q_ref[:]
-        qn = qn_ref[:]
+        qn = qn_ref[i, :]
         best = jnp.full((block_n,), jnp.inf, jnp.float32)
         second = jnp.full((block_n,), jnp.inf, jnp.float32)
         bidx = jnp.zeros((block_n,), jnp.int32)
 
         def body(j, carry):
             best, second, bidx = carry
-            t = t_ref[pl.ds(j * block_m, block_m), :]
-            tn = tn_ref[pl.ds(j * block_m, block_m)]
+            t = t_ref[pl.ds(pl.multiple_of(j * block_m, block_m), block_m), :]
+            tn = tn_ref[j, :]
             d2 = qn[:, None] + tn[None, :] - 2.0 * jnp.dot(
                 q, t.T, preferred_element_type=jnp.float32)
             # local top-2 within the tile
             loc_best = jnp.min(d2, axis=1)
-            loc_arg = jnp.argmin(d2, axis=1).astype(jnp.int32) + j * block_m
+            loc_arg = jnp.argmin(d2, axis=1).astype(jnp.int32)
             d2_wo = jnp.where(
                 jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
-                == (loc_arg[:, None] - j * block_m), jnp.inf, d2)
+                == loc_arg[:, None], jnp.inf, d2)
             loc_second = jnp.min(d2_wo, axis=1)
+            loc_arg = loc_arg + j * block_m
             # merge running (best, second) with tile (best, second)
             new_best = jnp.minimum(best, loc_best)
             new_bidx = jnp.where(loc_best < best, loc_arg, bidx)
@@ -129,32 +134,33 @@ def matched_pairs_pallas(query, train, block_n: int = 256, block_m: int = 256,
 
         best, second, bidx = jax.lax.fori_loop(0, m // block_m, body,
                                                (best, second, bidx))
-        best_ref[:] = best
-        second_ref[:] = second
-        idx_ref[:] = bidx
+        best_ref[i, :] = best
+        second_ref[i, :] = second
+        idx_ref[i, :] = bidx
 
     grid = (n // block_n,)
+    rows = n // block_n
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_n, d), lambda i: (i, 0)),
-            pl.BlockSpec((block_n,), lambda i: (i,)),
+            pl.BlockSpec((rows, block_n), lambda i: (0, 0)),
             pl.BlockSpec((m, d), lambda i: (0, 0)),
-            pl.BlockSpec((m,), lambda i: (0,)),
+            pl.BlockSpec((m // block_m, block_m), lambda i: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((block_n,), lambda i: (i,)),
-            pl.BlockSpec((block_n,), lambda i: (i,)),
-            pl.BlockSpec((block_n,), lambda i: (i,)),
+            pl.BlockSpec((rows, block_n), lambda i: (0, 0)),
+            pl.BlockSpec((rows, block_n), lambda i: (0, 0)),
+            pl.BlockSpec((rows, block_n), lambda i: (0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n,), jnp.float32),
-            jax.ShapeDtypeStruct((n,), jnp.float32),
-            jax.ShapeDtypeStruct((n,), jnp.int32),
+            jax.ShapeDtypeStruct((n // block_n, block_n), jnp.float32),
+            jax.ShapeDtypeStruct((n // block_n, block_n), jnp.float32),
+            jax.ShapeDtypeStruct((n // block_n, block_n), jnp.int32),
         ],
         interpret=interpret,
     )(query.astype(jnp.float32), qn_all.astype(jnp.float32),
       train.astype(jnp.float32), tn_all.astype(jnp.float32))
-    best, second, idx = out
+    best, second, idx = (o.reshape(n) for o in out)
     return MatchResult(idx, best, second)
