@@ -192,3 +192,46 @@ def parse_xyz(path) -> np.ndarray:
             raise ValueError(f"Could not scan line: '{line}'")
         rows.append(vals[:3])
     return np.asarray(rows)
+
+
+# ----------------------------------------------------------------------------
+# Transformed-cloud exports (saveTransformedDepthClouds/saveTransformedMesh,
+# dense_map_utils.cc:1114-1360)
+# ----------------------------------------------------------------------------
+
+
+def save_transformed_depth_clouds(out_dir, entries, depth_to_image: np.ndarray,
+                                  world_to_cam: np.ndarray):
+    """Write each entry's depth cloud as a world-frame PLY
+    (saveTransformedDepthClouds role): depth points -> depth_to_image ->
+    cam frame -> world frame."""
+    from multiview_tpu.io import ply as ply_io
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    written = []
+    for eid, (cam_type, timestamp, depth_img, _inten) in enumerate(entries):
+        if depth_img is None:
+            continue
+        xyz = np.asarray(depth_img).reshape(-1, 3)
+        ok = ~np.all(xyz == 0.0, axis=-1)
+        D = depth_to_image[cam_type]
+        pts_cam = xyz[ok] @ D[:3, :3].T + D[:3, 3]
+        c2w = np.linalg.inv(world_to_cam[eid])
+        pts_world = pts_cam @ c2w[:3, :3].T + c2w[:3, 3]
+        ts = f"{timestamp:10.7f}".strip()
+        path = out_dir / f"{ts}_trans.ply"
+        ply_io.write_ply(path, pts_world)
+        written.append(path)
+    return written
+
+
+def save_transformed_mesh(path, vertices: np.ndarray, faces: np.ndarray,
+                          transform: np.ndarray):
+    """Apply a 4x4 transform to a mesh and save (saveTransformedMesh role)."""
+    from multiview_tpu.io import ply as ply_io
+
+    T = np.asarray(transform, float)
+    v = np.asarray(vertices) @ T[:3, :3].T + T[:3, 3]
+    ply_io.write_ply(path, v, faces)
+    return path

@@ -121,7 +121,8 @@ def _pixel_row_blocks(state: prob.RigState, obs: prob.PixelObs, model: str,
                 obs.dist_half_size, model, opts.robust_threshold)
 
         blocks = (beg_pose, end_pose, rig, offset, focal, ctr, dist, point)
-        jac = jax.jacfwd(f)(blocks)
+        # reverse mode: 2 output rows vs ~33 input tangents for forward mode
+        jac = jax.jacrev(f)(blocks)
         j_cam = jnp.concatenate(
             [jac[0], jac[1], jac[2], jac[3][:, None], jac[4][:, None], jac[5],
              jac[6].reshape(2, -1)], axis=-1)
@@ -184,7 +185,7 @@ def _depth_row_blocks(state: prob.RigState, obs: prob.DepthObs, opts: prob.BAOpt
                                        opts.robust_threshold)
 
         blocks = (beg_pose, end_pose, rig, offset, d2i, dscale, point)
-        jac = jax.jacfwd(f)(blocks)
+        jac = jax.jacrev(f)(blocks)
         j_cam = jnp.concatenate(
             [jac[0], jac[1], jac[2], jac[3][:, None], jac[4], jac[5][:, None]],
             axis=-1)
