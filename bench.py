@@ -86,9 +86,11 @@ def main():
                                no_rig=True, include_points=False)
 
     ITERS = 10
+    # inexact-Newton forcing: CG runs to a 0.1 relative residual like Ceres'
+    # ITERATIVE_SCHUR default forcing, not to machine precision
     solver = jax.jit(schur.make_schur_solver(
         state0, scene.observations, scene.models, prob.BAOptions(no_rig=True),
-        cam_mask, max_iterations=ITERS, cg_iterations=30, cg_tolerance=0.0))
+        cam_mask, max_iterations=ITERS, cg_iterations=30, cg_tolerance=0.1))
 
     cam0 = prob.pack_state(state0, include_points=False)
     pts0 = state0.points

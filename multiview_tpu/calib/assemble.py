@@ -112,6 +112,61 @@ def build_observations(rig: rc.RigConfig, cams: Sequence[CameraEntry],
     return prob.Observations(pixels=tuple(pixel_obs)), len(trackset.tracks)
 
 
+def build_depth_observations(rig: rc.RigConfig, cams: Sequence[CameraEntry],
+                             ref_timestamps: np.ndarray, trackset: TrackSet,
+                             no_rig: bool = False, dtype=jnp.float64
+                             ) -> Tuple[prob.DepthObs, ...]:
+    """Attach depth measurements to track observations: for every track
+    feature whose entry has a depth cloud, look up the cloud at the feature
+    pixel (depthValue role, dense_map_utils.cc:1364-1391) and emit a
+    BracketedDepthError row."""
+    from multiview_tpu.utils.images import depth_value
+
+    S = len(rig.sensors)
+    rows = {s: dict(xyz=[], beg=[], end=[], pid=[], dtc=[], dtb=[])
+            for s in range(S)}
+    for pid, track in enumerate(trackset.tracks):
+        for cid, fid in track.items():
+            cam = cams[cid]
+            if cam.depth_cloud is None:
+                continue
+            xyz = depth_value(np.asarray(cam.depth_cloud),
+                              trackset.keypoints[cid][fid])
+            if xyz is None:
+                continue
+            s = cam.camera_type
+            if no_rig:
+                beg = end = cid
+                dtc = dtb = 0.0
+            else:
+                beg, end = cam.beg_ref_index, cam.end_ref_index
+                dtc = cam.timestamp - ref_timestamps[beg]
+                dtb = ref_timestamps[end] - ref_timestamps[beg]
+            r = rows[s]
+            r["xyz"].append(xyz)
+            r["beg"].append(beg)
+            r["end"].append(end)
+            r["pid"].append(pid)
+            r["dtc"].append(dtc)
+            r["dtb"].append(dtb)
+
+    out = []
+    for s in range(S):
+        r = rows[s]
+        if not r["xyz"]:
+            continue
+        out.append(prob.DepthObs(
+            depth_xyz=jnp.asarray(np.stack(r["xyz"]), dtype),
+            beg_idx=jnp.asarray(np.asarray(r["beg"], np.int32)),
+            end_idx=jnp.asarray(np.asarray(r["end"], np.int32)),
+            point_idx=jnp.asarray(np.asarray(r["pid"], np.int32)),
+            dt_cam=jnp.asarray(np.asarray(r["dtc"]), dtype),
+            dt_bracket=jnp.asarray(np.asarray(r["dtb"]), dtype),
+            mask=jnp.ones(len(r["xyz"]), bool),
+            mesh_xyz=None, sensor=s))
+    return tuple(out)
+
+
 def ref_data_from_entries(cams: Sequence[CameraEntry], world_to_cam: np.ndarray
                           ) -> Tuple[np.ndarray, np.ndarray, Dict[int, int]]:
     """(ref_timestamps, world_to_ref [R,7], entry->ref-index map) from the

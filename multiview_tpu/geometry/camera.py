@@ -194,6 +194,18 @@ class CameraParams:
                              jnp.ones(undist_c.shape[:-1] + (1,), self.dtype)], axis=-1)
         return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
 
+    def is_in_fov(self, X_cam) -> jnp.ndarray:
+        """True where camera-frame point(s) project inside the distorted
+        image with positive depth (CameraModel::IsInFov,
+        `camera_model/camera_model.cc:109-121`)."""
+        z_ok = X_cam[..., 2] > 0.0
+        pix = self.project_cam_to_dist_pix(
+            jnp.where(z_ok[..., None], X_cam,
+                      jnp.asarray([0.0, 0.0, 1.0], self.dtype)))
+        size = jnp.asarray(self.distorted_size, self.dtype)
+        inside = jnp.all((pix >= 0.0) & (pix < size), axis=-1)
+        return z_ok & inside
+
     # -- mutation helpers (functional) --------------------------------------
 
     def with_intrinsics(self, focal=None, optical_offset=None, dist_coeffs=None):

@@ -266,7 +266,8 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
                       cg_tolerance: float = 1e-8,
                       lam0: float = 1e-4,
                       lower: Optional[jnp.ndarray] = None,
-                      upper: Optional[jnp.ndarray] = None):
+                      upper: Optional[jnp.ndarray] = None,
+                      linear_solver: str = "auto"):
     """Build a jitted Schur-LM solve function:
     (cam_vec0, points0, observations=None) -> result.
 
@@ -281,6 +282,22 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
     layout = cam_layout(template)
     num_points = template.points.shape[0]
     cam_free = jnp.asarray(cam_mask.astype(np.float64), template.dtype)
+
+    # Linear-solver modes:
+    #   "cg"         — jvp/vjp matvecs (scales to any C; re-executes the
+    #                  residual graph per matvec)
+    #   "cg_dense_j" — densify per-family camera Jacobians [N,k,C] once per
+    #                  LM iteration; CG matvecs become pure matmuls
+    #                  (best when N*k*C fits HBM comfortably)
+    #   "dense_schur"— assemble the reduced system explicitly + Cholesky
+    #   "auto"       — cg_dense_j for modest C, cg otherwise
+    if linear_solver == "auto":
+        # measured on v5e: jvp/vjp CG wins at all tested scales (dense-J and
+        # dense-Schur variants are scatter/bandwidth-bound); keep them as
+        # explicit options
+        linear_solver = "cg"
+    use_dense_schur = linear_solver == "dense_schur"
+    use_dense_j = linear_solver == "cg_dense_j"
 
     row_cols = [
         jnp.asarray(_pixel_row_cam_indices(template, o, layout))
@@ -302,34 +319,70 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
         r = residuals(cam_vec, points, obs)
         return 0.5 * jnp.sum(r * r)
 
-    def hpp_and_diag(cam_vec, points, obs_all):
-        """Hpp [P,3,3], point diag [P,3], camera diag [C] via row blocks."""
+    def family_blocks(cam_vec, points, obs_all):
+        """Per-family row blocks (j_cam [N,k,B]|None, cols [N,B]|None,
+        j_pt [N,k,3]|None, point_idx [N]|None) in exactly the concatenation
+        order of all_residuals — the explicit sparse Jacobian, materialized
+        once per LM iteration so every CG matvec is gathers + segment-sums
+        instead of re-executing the residual graph."""
         st = unpack(cam_vec, points)
-        hpp = jnp.zeros((num_points, 3, 3), template.dtype)
-        cam_diag = jnp.zeros(layout.total, template.dtype)
+        fams = []
         for obs, cols in zip(obs_all.pixels, row_cols):
             j_cam, j_pt = _pixel_row_blocks(st, obs, models[obs.sensor], opts)
-            hpp = hpp.at[obs.point_idx].add(
-                jnp.einsum("nri,nrj->nij", j_pt, j_pt))
-            # exact diag(Jc^T Jc): sum of squared entries per column
-            contrib = jnp.sum(j_cam * j_cam, axis=1)  # [N,B]
-            cam_diag = cam_diag.at[cols.reshape(-1)].add(contrib.reshape(-1))
+            fams.append((j_cam, cols, j_pt, obs.point_idx))
         for obs, cols in zip(obs_all.depths, depth_cols):
             if opts.depth_tri_weight > 0.0:
                 j_cam, j_pt = _depth_row_blocks(st, obs, opts, mesh_variant=False)
-                hpp = hpp.at[obs.point_idx].add(jnp.einsum("nri,nrj->nij", j_pt, j_pt))
-                contrib = jnp.sum(j_cam * j_cam, axis=1)
-                cam_diag = cam_diag.at[cols.reshape(-1)].add(contrib.reshape(-1))
+                fams.append((j_cam, cols, j_pt, obs.point_idx))
             if obs.mesh_xyz is not None and opts.depth_mesh_weight > 0.0:
                 j_cam, _ = _depth_row_blocks(st, obs, opts, mesh_variant=True)
-                contrib = jnp.sum(j_cam * j_cam, axis=1)
-                cam_diag = cam_diag.at[cols.reshape(-1)].add(contrib.reshape(-1))
-        # xyz priors touch only points
+                fams.append((j_cam, cols, None, None))
         for prior, weight, th in _priors(obs_all, opts):
-            # d/dp of robustified weight*(p - ref) has 3x3 block; use jacfwd rows
             jp = _prior_row_blocks(st, prior, weight, th)
-            hpp = hpp.at[prior.point_idx].add(jnp.einsum("nri,nrj->nij", jp, jp))
+            fams.append((None, None, jp, prior.point_idx))
+        return fams
+
+    def hpp_and_diag(fams):
+        """Hpp [P,3,3] and exact camera Jacobi diagonal [C] from the blocks."""
+        hpp = jnp.zeros((num_points, 3, 3), template.dtype)
+        cam_diag = jnp.zeros(layout.total, template.dtype)
+        for j_cam, cols, j_pt, pidx in fams:
+            if j_pt is not None and pidx is not None:
+                hpp = hpp.at[pidx].add(jnp.einsum("nri,nrj->nij", j_pt, j_pt))
+            if j_cam is not None:
+                contrib = jnp.sum(j_cam * j_cam, axis=1)  # [N,B]
+                cam_diag = cam_diag.at[cols.reshape(-1)].add(contrib.reshape(-1))
         return hpp, cam_diag
+
+    def J_mv(fams, xc, xp):
+        """J @ (xc, xp) -> flat residual-space vector (all_residuals order)."""
+        parts = []
+        for j_cam, cols, j_pt, pidx in fams:
+            u = None
+            if j_cam is not None:
+                u = jnp.einsum("nkb,nb->nk", j_cam, xc[cols])
+            if j_pt is not None:
+                up = jnp.einsum("nkj,nj->nk", j_pt, xp[pidx])
+                u = up if u is None else u + up
+            parts.append(u.reshape(-1))
+        return jnp.concatenate(parts)
+
+    def JT_mv(fams, u):
+        """J^T @ u -> (gc [C], gp [P,3])."""
+        gc = jnp.zeros(layout.total, template.dtype)
+        gp = jnp.zeros((num_points, 3), template.dtype)
+        off = 0
+        for j_cam, cols, j_pt, pidx in fams:
+            k = (j_cam if j_cam is not None else j_pt).shape[1]
+            n = (j_cam if j_cam is not None else j_pt).shape[0]
+            ublock = jax.lax.dynamic_slice_in_dim(u, off, n * k).reshape(n, k)
+            off += n * k
+            if j_cam is not None:
+                contrib = jnp.einsum("nkb,nk->nb", j_cam, ublock)
+                gc = gc.at[cols.reshape(-1)].add(contrib.reshape(-1))
+            if j_pt is not None:
+                gp = gp.at[pidx].add(jnp.einsum("nkj,nk->nj", j_pt, ublock))
+        return gc, gp
 
     def _priors(obs, o):
         out = []
@@ -384,19 +437,39 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
         def cond(s):
             return (s.it < max_iterations) & (~s.done)
 
+        zero_c = jnp.zeros(layout.total, dtype)
+        zero_p = jnp.zeros((num_points, 3), dtype)
+
+        def dense_families(fams):
+            """Per-family dense camera Jacobians [N,k,C] (one scatter each;
+            cheap when C is small). Everything downstream becomes matmuls."""
+            out = []
+            for j_cam, cols, j_pt, pidx in fams:
+                if j_cam is None:
+                    out.append(None)
+                    continue
+                N, k, B = j_cam.shape
+                dense = jnp.zeros((N, k, layout.total), dtype)
+                n_idx = jnp.arange(N)[:, None, None]
+                k_idx = jnp.arange(k)[None, :, None]
+                dense = dense.at[n_idx, k_idx, cols[:, None, :]].add(j_cam)
+                out.append(dense)
+            return out
+
         def body(s):
-            # linearize once per iteration
+            # linearize once per iteration: on TPU the jvp/vjp matvecs fuse
+            # into dense compiled ops and beat scatter-based block products
+            # by ~10x (measured), so CG runs on them; the explicit blocks
+            # below only feed Hpp, the Jacobi diagonal, and DENSE_SCHUR.
             r, lin = jax.linearize(lambda c, p: residuals(c, p, obs),
                                    s.cam, s.points)
             lin_t = jax.linear_transpose(lin, s.cam, s.points)
 
-            def JT(v):
-                gc, gp = lin_t(v)
-                return gc * cam_free, gp
+            gc_raw, g_p = lin_t(r)
+            g_c = gc_raw * cam_free
 
-            g_c, g_p = JT(r)
-
-            hpp, cam_diag = hpp_and_diag(s.cam, s.points, obs)
+            fams = family_blocks(s.cam, s.points, obs)
+            hpp, cam_diag = hpp_and_diag(fams)
             cam_diag = jnp.clip(cam_diag, 1e-12, 1e32)
             pt_diag = jnp.clip(jnp.diagonal(hpp, axis1=-2, axis2=-1), 1e-12, 1e32)
 
@@ -405,19 +478,95 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
             dc = s.lam * cam_diag * cam_free + (1.0 - cam_free)
             precond = 1.0 / (cam_diag * cam_free + dc)
 
-            def schur_mv(x):
-                u = lin(x * cam_free, jnp.zeros_like(s.points))
-                _, v = lin_t(u)
-                w = batched_solve3(hpp_damped, v)
-                z = lin(jnp.zeros_like(s.cam), w)
-                gc, _ = lin_t(u - z)
-                return gc * cam_free + dc * x
+            if use_dense_j:
+                # matmul-only matvecs from dense per-family camera Jacobians
+                # [N,k,C]: one scatter per LM iteration (the densify), zero
+                # scatters inside CG; the point side stays tiny gathers.
+                dens = dense_families(fams)
 
-            # rhs = -(g_c - E Hpp^-1 g_p)
-            w0 = batched_solve3(hpp_damped, g_p)
-            z0 = lin(jnp.zeros_like(s.cam), w0)
-            gc0, _ = lin_t(z0)
-            rhs = -(g_c - gc0 * cam_free)
+                def Jx(xc, xp):
+                    parts = []
+                    for (j_cam, cols, j_pt, pidx), dense in zip(fams, dens):
+                        u = None
+                        if dense is not None:
+                            u = jnp.einsum("nkc,c->nk", dense, xc,
+                                           preferred_element_type=dtype)
+                        if j_pt is not None:
+                            up = jnp.einsum("nkj,nj->nk", j_pt, xp[pidx])
+                            u = up if u is None else u + up
+                        parts.append(u.reshape(-1))
+                    return jnp.concatenate(parts)
+
+                def JTu(u):
+                    gc = jnp.zeros(layout.total, dtype)
+                    gp = jnp.zeros((num_points, 3), dtype)
+                    off = 0
+                    for (j_cam, cols, j_pt, pidx), dense in zip(fams, dens):
+                        blk = j_cam if j_cam is not None else j_pt
+                        n, k = blk.shape[0], blk.shape[1]
+                        ub = jax.lax.dynamic_slice_in_dim(u, off, n * k)
+                        ub = ub.reshape(n, k)
+                        off += n * k
+                        if dense is not None:
+                            gc = gc + jnp.einsum("nkc,nk->c", dense, ub,
+                                                 preferred_element_type=dtype)
+                        if j_pt is not None:
+                            gp = gp.at[pidx].add(
+                                jnp.einsum("nkj,nk->nj", j_pt, ub))
+                    return gc, gp
+
+                def schur_mv(x):
+                    u = Jx(x * cam_free, zero_p)
+                    _, v = JTu(u)
+                    w = batched_solve3(hpp_damped, v)
+                    z = Jx(zero_c, w)
+                    gc, _ = JTu(u - z)
+                    return gc * cam_free + dc * x
+
+                w0 = batched_solve3(hpp_damped, g_p)
+                gc0, _ = JTu(Jx(zero_c, w0))
+                rhs = -(g_c - gc0 * cam_free)
+            else:
+                def schur_mv(x):
+                    u = lin(x * cam_free, zero_p)
+                    _, v = lin_t(u)
+                    w = batched_solve3(hpp_damped, v)
+                    z = lin(zero_c, w)
+                    gc, _ = lin_t(u - z)
+                    return gc * cam_free + dc * x
+
+                # rhs = -(g_c - E Hpp^-1 g_p)
+                w0 = batched_solve3(hpp_damped, g_p)
+                gc0, _ = lin_t(lin(zero_c, w0))
+                rhs = -(g_c - gc0 * cam_free)
+
+            def dense_schur_solve(rhs):
+                """DENSE_SCHUR: assemble S = B - E Hpp^-1 E^T and Cholesky —
+                the right linear solver for small camera-parameter counts
+                (Ceres' DENSE_SCHUR analogue). All matmul/MXU work, no CG."""
+                C = layout.total
+                dens = dense_families(fams)
+                B = jnp.zeros((C, C), dtype)
+                E = jnp.zeros((num_points, C, 3), dtype)
+                for (j_cam, cols, j_pt, pidx), dense in zip(fams, dens):
+                    if dense is not None:
+                        B = B + jnp.einsum("nkc,nkd->cd", dense, dense,
+                                           preferred_element_type=dtype)
+                    if dense is not None and j_pt is not None:
+                        outer = jnp.einsum("nkb,nkj->nbj", j_cam, j_pt)
+                        n_idx = pidx[:, None, None]
+                        c_idx = cols[:, :, None]
+                        j_idx = jnp.arange(3)[None, None, :]
+                        E = E.at[n_idx, c_idx, j_idx].add(outer)
+                hpp_inv = jnp.linalg.inv(hpp_damped)          # [P,3,3]
+                T = jnp.einsum("pci,pij->pcj", E, hpp_inv)
+                S = B - jnp.einsum("pcj,pdj->cd", T, E,
+                                   preferred_element_type=dtype)
+                # damping + freeze: zero frozen rows/cols, unit diagonal there
+                S = S * cam_free[:, None] * cam_free[None, :] + jnp.diag(dc)
+                Lc, lowflag = jax.scipy.linalg.cho_factor(S)
+                x = jax.scipy.linalg.cho_solve((Lc, lowflag), rhs)
+                return x * cam_free, jnp.asarray(0)
 
             # PCG on the reduced camera system
             def cg(rhs):
@@ -450,10 +599,13 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
                     cg_cond, cg_body, (x, rr, p, rz, jnp.asarray(0)))
                 return x, k
 
-            dc_step, cg_k = cg(rhs)
+            if use_dense_schur:
+                dc_step, cg_k = dense_schur_solve(rhs)
+            else:
+                dc_step, cg_k = cg(rhs)
 
             # back-substitute points: dp = Hpp^-1 (-g_p - Jp^T Jc dc)
-            u = lin(dc_step * cam_free, jnp.zeros_like(s.points))
+            u = lin(dc_step * cam_free, zero_p)
             _, v = lin_t(u)
             dp = batched_solve3(hpp_damped, -g_p - v)
 

@@ -45,6 +45,8 @@ def add_args(p: argparse.ArgumentParser):
     p.add_argument("--hugin_file")
     p.add_argument("--xyz_file")
     p.add_argument("--save_nvm", action="store_true")
+    p.add_argument("--save_matches", action="store_true",
+                   help="export inlier matches as ASP .match files")
     p.add_argument("--verbose", action="store_true")
 
 
@@ -157,6 +159,13 @@ def run(args):
 
     observations, num_points = assemble.build_observations(
         rig, cams, ref_stamps, trackset, no_rig=args.no_rig)
+    if args.depth_tri_weight > 0.0:
+        import dataclasses as _dc
+        depth_obs = assemble.build_depth_observations(
+            rig, cams, ref_stamps, trackset, no_rig=args.no_rig)
+        if depth_obs:
+            observations = _dc.replace(observations, depths=depth_obs)
+            print(f"Attached {sum(len(o) for o in depth_obs)} depth measurements")
     state = assemble.build_state(rig, cams, w2c_entries, ref_stamps,
                                  world_to_ref, num_points, no_rig=args.no_rig)
 
@@ -234,7 +243,30 @@ def run(args):
         _write_solution_nvm(out / "cameras.nvm", rig, cams, state, mats,
                             trackset, result.observations)
         print(f"Writing: {out/'cameras.nvm'}")
+
+    if args.save_matches:
+        from multiview_tpu.io import match_file
+        inlier = _inlier_lookup(cams, trackset, result.observations)
+        written = match_file.save_inlier_match_pairs(
+            out / "matches", [c.image_name for c in cams], args.num_overlaps,
+            trackset, inlier)
+        print(f"Wrote {len(written)} match files to {out/'matches'}")
     return 0
+
+
+def _inlier_lookup(cams, trackset, observations):
+    """(pid, cid) -> bool from the per-sensor masks, in build order."""
+    counters = {obs.sensor: 0 for obs in observations.pixels}
+    masks = {obs.sensor: __import__("numpy").asarray(obs.mask)
+             for obs in observations.pixels}
+    table = {}
+    for pid, track in enumerate(trackset.tracks):
+        for cid, fid in track.items():
+            s = cams[cid].camera_type
+            if s in masks:
+                table[(pid, cid)] = bool(masks[s][counters[s]])
+                counters[s] += 1
+    return lambda pid, cid: table.get((pid, cid), False)
 
 
 def _write_solution_nvm(path, rig, cams, state, w2c_mats, trackset, observations):
