@@ -323,6 +323,9 @@ def optimize_rig(
     cg_iterations: int = 60,
     checkpoint_dir: Optional[str] = None,
     resume: bool = False,
+    mesh_tri_verts: Optional[np.ndarray] = None,  # [T,3,3] for mesh constraints
+    min_ray_dist: float = 0.0,
+    max_ray_dist: float = 100.0,
     verbose: bool = False,
 ) -> CalibratorResult:
     """The reference's per-pass loop (rig_calibrator.cc:1550-1990).
@@ -391,7 +394,14 @@ def optimize_rig(
             tri_prior = prob.XyzPriorObs(
                 ref_xyz=xyz, point_idx=jnp.arange(xyz.shape[0]),
                 mask=jnp.asarray(np.asarray(ok)))
-            obs_now = dataclasses.replace(observations, tri_prior=tri_prior)
+            obs_now = dataclasses.replace(obs_now, tri_prior=tri_prior)
+        if mesh_tri_verts is not None and opts.mesh_tri_weight > 0.0:
+            # per-pass ray/mesh intersections (meshTriangulations role)
+            from multiview_tpu.calib import mesh_constraints
+            mesh_prior = mesh_constraints.build_mesh_prior(
+                state, observations, models, mesh_tri_verts,
+                min_ray_dist=min_ray_dist, max_ray_dist=max_ray_dist)
+            obs_now = dataclasses.replace(obs_now, mesh_tri=mesh_prior)
 
         template = state
 

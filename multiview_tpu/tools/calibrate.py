@@ -34,6 +34,10 @@ def add_args(p: argparse.ArgumentParser):
     p.add_argument("--float_scale", action="store_true")
     p.add_argument("--depth_to_image_transforms_to_float", action="store_true")
     p.add_argument("--depth_tri_weight", type=float, default=0.0)
+    p.add_argument("--mesh", help="PLY mesh for mesh-based constraints")
+    p.add_argument("--mesh_tri_weight", type=float, default=0.0)
+    p.add_argument("--min_ray_dist", type=float, default=0.0)
+    p.add_argument("--max_ray_dist", type=float, default=100.0)
     p.add_argument("--tri_weight", type=float, default=0.0)
     p.add_argument("--tri_robust_threshold", type=float, default=0.1)
     p.add_argument("--min_triangulation_angle", type=float, default=0.5)
@@ -183,7 +187,16 @@ def run(args):
     opts = prob.BAOptions(
         robust_threshold=args.robust_threshold, no_rig=args.no_rig,
         depth_tri_weight=args.depth_tri_weight, tri_weight=args.tri_weight,
+        mesh_tri_weight=args.mesh_tri_weight,
         tri_robust_threshold=args.tri_robust_threshold)
+
+    mesh_tri_verts = None
+    if args.mesh:
+        from multiview_tpu.io import ply as ply_io
+        from multiview_tpu.texture.raycast import mesh_tri_verts as soup
+        mesh_data = ply_io.read_ply(args.mesh)
+        mesh_tri_verts = soup(mesh_data["vertices"], mesh_data["faces"])
+        print(f"Loaded mesh with {len(mesh_tri_verts)} triangles for constraints")
 
     bounds = np.stack([min_off, max_off], axis=1) if args.float_timestamp_offsets \
         else None
@@ -195,6 +208,8 @@ def run(args):
         min_triangulation_angle=args.min_triangulation_angle,
         max_reprojection_error=args.max_reprojection_error,
         timestamp_offset_bounds=bounds,
+        mesh_tri_verts=mesh_tri_verts,
+        min_ray_dist=args.min_ray_dist, max_ray_dist=args.max_ray_dist,
         sensor_names=sensor_names, verbose=True)
     state = result.state
 

@@ -193,3 +193,81 @@ class TestSmallTools:
         assert ret == 0
         assert (out / img.name).exists()
         assert (out / "undistorted_intrinsics.txt").exists()
+
+
+class TestRigCalibrateTool:
+    def test_calibrate_rig_mode(self, tmp_path):
+        """Two-sensor rig through the CLI: bracketing, median rig init, rig
+        BA with floated rig transforms."""
+        import imageio.v3 as iio
+        ws = tmp_path / "rigws"
+        rig_pose = P.make_pose(jnp.asarray([0.12, -0.04, 0.02]),
+                               P.quat_exp(jnp.asarray([0.03, -0.02, 0.05])))
+        sensors = [
+            rc.SensorConfig(
+                name="nav_cam", focal_length=FOCAL,
+                optical_center=np.array([SIZE[0] / 2.0, SIZE[1] / 2.0]),
+                distortion=np.array([]), image_size=SIZE,
+                distorted_crop_size=SIZE, undistorted_image_size=SIZE,
+                ref_to_sensor=np.eye(4), depth_to_image=np.eye(4),
+                timestamp_offset=0.0),
+            rc.SensorConfig(
+                name="sci_cam", focal_length=FOCAL,
+                optical_center=np.array([SIZE[0] / 2.0, SIZE[1] / 2.0]),
+                distortion=np.array([]), image_size=SIZE,
+                distorted_crop_size=SIZE, undistorted_image_size=SIZE,
+                # deliberately wrong rig guess: the tool re-initializes it
+                ref_to_sensor=np.eye(4), depth_to_image=np.eye(4),
+                timestamp_offset=0.2),
+        ]
+        rc.write_rig_config(ws / "rig_config.txt", rc.RigConfig(sensors))
+
+        names, mats = [], []
+        n_ref = 6
+        for s, (sname, offset) in enumerate((("nav_cam", 0.0), ("sci_cam", 0.2))):
+            d = ws / "images" / sname
+            d.mkdir(parents=True)
+            ts_list = ([10000.0 + i for i in range(n_ref)] if s == 0
+                       else [10000.0 + i + 0.5 + offset for i in range(n_ref - 1)])
+            for t in ts_list:
+                # world->ref trajectory interpolated at the (ref-clock) time
+                t_ref = t - offset
+                i0 = int(np.clip(np.floor(t_ref - 10000.0), 0, n_ref - 1))
+                i1 = min(i0 + 1, n_ref - 1)
+                alpha = np.clip(t_ref - 10000.0 - i0, 0.0, 1.0)
+                p0 = syn.look_at_pose(
+                    np.array([0.4 * i0, 0.1 * i0, 2.0]),
+                    np.array([0.4 * i0 + 0.15, 0.1 * i0, 1.0]))
+                p1 = syn.look_at_pose(
+                    np.array([0.4 * i1, 0.1 * i1, 2.0]),
+                    np.array([0.4 * i1 + 0.15, 0.1 * i1, 1.0]))
+                w2ref = P.pose_interp(alpha, jnp.asarray(p0), jnp.asarray(p1))
+                w2c = w2ref if s == 0 else P.pose_compose(rig_pose, w2ref)
+                c2w = np.asarray(P.pose_inverse(w2c))
+                img = render_plane_image(c2w)
+                path = d / f"{t:.2f}.png"
+                iio.imwrite(path, (img * 255).astype(np.uint8))
+                names.append(str(path))
+                mats.append(np.asarray(P.pose_to_matrix(w2c)))
+        nvm_io.write_camera_poses(ws / "cameras.txt", names, np.stack(mats))
+
+        out = tmp_path / "rigcal"
+        ret = cli_main([
+            "calibrate", "--rig_config", str(ws / "rig_config.txt"),
+            "--camera_poses", str(ws / "cameras.txt"),
+            "--images", str(ws / "images"),
+            "--out_dir", str(out),
+            "--rig_transforms_to_float", "--camera_poses_to_float",
+            "--bracket_len", "1.5",
+            "--num_iterations", "15", "--calibrator_num_passes", "1",
+            "--max_features", "300"])
+        assert ret == 0
+        rig2 = rc.read_rig_config(out / "rig_config.txt")
+        # recovered rig transform close to the truth
+        M = rig2.sensors[1].ref_to_sensor
+        est = P.matrix_to_pose(jnp.asarray(M))
+        rel = P.pose_compose(P.pose_inverse(est), rig_pose)
+        rot_err = np.degrees(np.linalg.norm(np.asarray(P.quat_log(P.pose_q(rel)))))
+        trans_err = np.linalg.norm(np.asarray(P.pose_t(rel)))
+        assert rot_err < 1.0, f"rig rot err {rot_err} deg"
+        assert trans_err < 0.05, f"rig trans err {trans_err} m"

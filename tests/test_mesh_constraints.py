@@ -1,0 +1,112 @@
+"""Mesh-based BA constraints: ray/mesh anchors in the optimization loop.
+
+The scene is a 'roof' surface z = |x| + 0.3 viewed from above — every
+tracked point is the first mesh intersection along its rays (physically
+visible), and the offset apex makes the surface scale-anchoring (a plane or
+cone through the origin would be scale-invariant).
+"""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from multiview_tpu.calib import problem as prob, calibrator as cal, mesh_constraints
+from multiview_tpu.geometry import pose as P
+from multiview_tpu.utils import synthetic as syn
+
+
+def roof_mesh(half=1.5, apex=0.3):
+    """Two tilted rectangles: z = |x| + apex over [-half,half]^2."""
+    v = np.array([
+        [-half, -half, half + apex], [-half, half, half + apex],
+        [0.0, -half, apex], [0.0, half, apex],
+        [half, -half, half + apex], [half, half, half + apex]])
+    faces = np.asarray([[0, 2, 1], [1, 2, 3], [2, 4, 3], [3, 4, 5]], np.int32)
+    return v, faces
+
+
+def make_roof_scene(n_images=8, n_points=40, pix_noise=0.0, seed=0):
+    rng = np.random.default_rng(seed)
+    xy = rng.uniform(-0.8, 0.8, size=(n_points, 2))
+    pts = np.column_stack([xy[:, 0], xy[:, 1], np.abs(xy[:, 0]) + 0.3])
+
+    poses = []
+    for i in range(n_images):
+        a = 2 * np.pi * i / n_images
+        pos = np.array([1.2 * np.cos(a), 1.2 * np.sin(a), 3.0])
+        poses.append(syn.look_at_pose(pos, np.array([0.0, 0.0, 0.3])))
+    w2c = np.stack(poses)
+
+    size = (640, 480)
+    focal = 400.0
+    state = prob.RigState(
+        world_to_ref=jnp.asarray(w2c), ref_to_cam=jnp.asarray([[0, 0, 0, 0, 0, 0, 1.0]]),
+        timestamp_offsets=jnp.zeros(1), focal=jnp.asarray([focal]),
+        optical_center=jnp.asarray([[size[0] / 2.0, size[1] / 2.0]]),
+        dist=(jnp.zeros(0),),
+        depth_to_image=jnp.asarray([[0, 0, 0, 0, 0, 0, 1.0]]),
+        depth_scale=jnp.ones(1), points=jnp.asarray(pts))
+
+    rows = dict(pix=[], beg=[], pid=[])
+    half = np.asarray(size, float) / 2.0
+    for cid in range(n_images):
+        Xc = np.asarray(P.pose_apply(state.world_to_ref[cid], state.points))
+        pix = focal * Xc[:, :2] / Xc[:, 2:] + half
+        vis = (Xc[:, 2] > 0.2) & np.all((pix >= 0) & (pix < size), axis=-1)
+        ids = np.nonzero(vis)[0]
+        rows["pix"].append(pix[ids] + pix_noise * rng.normal(size=(len(ids), 2)))
+        rows["beg"].append(np.full(len(ids), cid))
+        rows["pid"].append(ids)
+    beg = np.concatenate(rows["beg"]).astype(np.int32)
+    obs = prob.PixelObs(
+        pix=jnp.asarray(np.concatenate(rows["pix"])),
+        beg_idx=jnp.asarray(beg), end_idx=jnp.asarray(beg),
+        point_idx=jnp.asarray(np.concatenate(rows["pid"]).astype(np.int32)),
+        dt_cam=jnp.zeros(len(beg)), dt_bracket=jnp.zeros(len(beg)),
+        mask=jnp.ones(len(beg), bool),
+        dist_half_size=jnp.asarray(half), sensor=0)
+    return state, prob.Observations(pixels=(obs,)), ("none",)
+
+
+class TestMeshIntersections:
+    def test_rays_hit_roof_at_points(self):
+        state, obs, models = make_roof_scene()
+        verts, faces = roof_mesh()
+        tri = verts[faces]
+        obs_xyz, track_xyz = mesh_constraints.mesh_intersections(
+            state, obs, models, tri)
+        ok = np.isfinite(track_xyz).all(axis=-1)
+        assert ok.mean() > 0.9
+        pts = np.asarray(state.points)
+        err = np.linalg.norm(track_xyz[ok] - pts[ok], axis=-1)
+        assert np.median(err) < 1e-9, f"median mesh-hit err {np.median(err)}"
+
+    def test_mesh_prior_pulls_solution_onto_surface(self):
+        """mesh_tri is a shape prior: ray/mesh hits follow the current
+        cameras, so it ties the structure to the mesh surface (it does not
+        pin the gauge scale — that's the depth constraints' job). Starting
+        from perturbed points/poses, the optimized points must land on the
+        roof while reprojection stays consistent."""
+        state, obs, models = make_roof_scene(pix_noise=0.2)
+        bad = syn.perturb_state(state, pose_rot=0.004, pose_trans=0.01,
+                                point_sigma=0.05)
+        verts, faces = roof_mesh()
+        tri = verts[faces]
+        spec = prob.FloatSpec(cam_poses=True)
+        opts = prob.BAOptions(no_rig=True, mesh_tri_weight=20.0)
+        result = cal.optimize_rig(bad, obs, models, spec, opts,
+                                  num_passes=2, num_iterations=40,
+                                  mesh_tri_verts=tri)
+        pts = np.asarray(result.state.points)
+        off_surface = np.abs(pts[:, 2] - (np.abs(pts[:, 0]) + 0.3))
+        assert np.median(off_surface) < 2e-3, f"off-surface {np.median(off_surface)}"
+        assert result.stats_after["cam0_pix_x"][1] < 0.5
+
+        # without the prior, the perturbed points need not settle on the roof
+        opts0 = prob.BAOptions(no_rig=True)
+        r0 = cal.optimize_rig(bad, obs, models, prob.FloatSpec(), opts0,
+                              num_passes=1, num_iterations=5)
+        off0 = np.abs(np.asarray(r0.state.points)[:, 2]
+                      - (np.abs(np.asarray(r0.state.points)[:, 0]) + 0.3))
+        assert np.median(off_surface) <= np.median(off0) + 1e-6
