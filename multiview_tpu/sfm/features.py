@@ -165,8 +165,23 @@ def _detect_octave(base, octave, num_scales, sigma0, contrast_threshold,
     x_idx = flat_idx % Wc
     valid = vals > 0.0
 
+    # sub-pixel refinement: quadratic fit of the DoG around the extremum,
+    # offset = -H^-1 g in (x, y), clipped to half a pixel
+    c00 = center[s_idx, y_idx, x_idx]
+    cxm = center[s_idx, y_idx, jnp.maximum(x_idx - 1, 0)]
+    cxp = center[s_idx, y_idx, jnp.minimum(x_idx + 1, Wc - 1)]
+    cym = center[s_idx, jnp.maximum(y_idx - 1, 0), x_idx]
+    cyp = center[s_idx, jnp.minimum(y_idx + 1, Hc - 1), x_idx]
+    gx = 0.5 * (cxp - cxm)
+    gy = 0.5 * (cyp - cym)
+    hxx = cxp + cxm - 2 * c00
+    hyy = cyp + cym - 2 * c00
+    dx = jnp.clip(-gx / jnp.where(jnp.abs(hxx) > 1e-12, hxx, 1e-12), -0.5, 0.5)
+    dy = jnp.clip(-gy / jnp.where(jnp.abs(hyy) > 1e-12, hyy, 1e-12), -0.5, 0.5)
+
     factor = float(2 ** octave)
-    xy = jnp.stack([x_idx, y_idx], axis=-1).astype(jnp.float32) * factor
+    xy = (jnp.stack([x_idx, y_idx], axis=-1).astype(jnp.float32)
+          + jnp.stack([dx, dy], axis=-1)) * factor
     sig = jnp.asarray([sigmas[1 + s] for s in range(num_scales + 1)],
                       jnp.float32)[jnp.clip(s_idx, 0, num_scales)] * factor
     return xy, sig, vals, valid

@@ -271,3 +271,31 @@ class TestRigCalibrateTool:
         trans_err = np.linalg.norm(np.asarray(P.pose_t(rel)))
         assert rot_err < 1.0, f"rig rot err {rot_err} deg"
         assert trans_err < 0.05, f"rig trans err {trans_err} m"
+
+
+class TestPipelineIntegration:
+    def test_sfm_init_feeds_calibrate_via_nvm(self, workspace, tmp_path):
+        """The reference's stage hand-off: theia_sfm writes an NVM that
+        rig_calibrator consumes (--nvm). Run sfm-init, then calibrate from
+        its NVM without re-matching."""
+        sfm_out = tmp_path / "sfm"
+        ret = cli_main([
+            "sfm-init", "--rig_config", str(workspace / "rig_config.txt"),
+            "--images", str(workspace / "images"),
+            "--out_dir", str(sfm_out), "--max_features", "300"])
+        assert ret == 0
+
+        cal_out = tmp_path / "calib"
+        ret = cli_main([
+            "calibrate", "--rig_config", str(workspace / "rig_config.txt"),
+            "--nvm", str(sfm_out / "cameras.nvm"),
+            "--out_dir", str(cal_out), "--no_rig",
+            "--camera_poses_to_float",
+            "--num_iterations", "15", "--calibrator_num_passes", "1"])
+        assert ret == 0
+        names, mats = nvm_io.read_camera_poses(cal_out / "cameras.txt")
+        assert len(names) == 5
+        # poses refined: finite and orthonormal rotations
+        for M in mats:
+            R = M[:3, :3]
+            np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-6)
