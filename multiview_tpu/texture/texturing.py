@@ -176,6 +176,7 @@ def _bilinear(img, x, y):
 def render_atlas(atlas: Atlas, vertices, faces, best_view, visible,
                  images: Sequence, cams: Sequence[CameraParams],
                  world_to_cam_poses, face_gain: Optional[np.ndarray] = None,
+                 vertex_gain: Optional[np.ndarray] = None,
                  max_chart: int = 64) -> np.ndarray:
     """Fill the atlas page: every chart texel is lifted to 3D, projected into
     its face's chosen view through the full distortion model, and bilinearly
@@ -213,7 +214,30 @@ def render_atlas(atlas: Atlas, vertices, faces, best_view, visible,
         colors = _bilinear(img, pix[:, 0], pix[:, 1])
         colors = np.asarray(colors).reshape((len(sel), max_chart, max_chart)
                                             + channels)
-        if face_gain is not None:
+        if vertex_gain is not None:
+            # barycentric interpolation of per-vertex gains over each chart
+            tri = vertices[faces[sel]]                      # [S,3,3]
+            e = tri - atlas.face_origin3d[sel][:, None, :]
+            tu = np.einsum("sij,sj->si", e, atlas.face_basis[sel][:, 0])
+            tv = np.einsum("sij,sj->si", e, atlas.face_basis[sel][:, 1])
+            px = gx[None] * atlas.pixel_size                # [1,mc,mc]
+            py = gy[None] * atlas.pixel_size
+            # solve barycentric for each texel in the 2D chart plane
+            d = ((tu[:, 1] - tu[:, 0]) * (tv[:, 2] - tv[:, 0])
+                 - (tu[:, 2] - tu[:, 0]) * (tv[:, 1] - tv[:, 0]))
+            d = np.where(np.abs(d) > 1e-12, d, 1e-12)[:, None, None]
+            w1 = ((px - tu[:, 0, None, None]) * (tv[:, 2] - tv[:, 0])[:, None, None]
+                  - (py - tv[:, 0, None, None]) * (tu[:, 2] - tu[:, 0])[:, None, None]) / d
+            w2 = ((py - tv[:, 0, None, None]) * (tu[:, 1] - tu[:, 0])[:, None, None]
+                  - (px - tu[:, 0, None, None]) * (tv[:, 1] - tv[:, 0])[:, None, None]) / d
+            w0 = 1.0 - w1 - w2
+            vg = vertex_gain[faces[sel]]                    # [S,3]
+            corr = (w0 * vg[:, 0, None, None] + w1 * vg[:, 1, None, None]
+                    + w2 * vg[:, 2, None, None])
+            if channels:
+                corr = corr[..., None]
+            colors = colors + corr
+        elif face_gain is not None:
             colors = colors + face_gain[sel][:, None, None]
 
         for si, f in enumerate(sel):
@@ -227,6 +251,22 @@ def render_atlas(atlas: Atlas, vertices, faces, best_view, visible,
 # ----------------------------------------------------------------------------
 # Global seam leveling
 # ----------------------------------------------------------------------------
+
+
+def vertex_gains_from_faces(num_vertices: int, faces: np.ndarray,
+                            face_gains: np.ndarray) -> np.ndarray:
+    """Local seam leveling: average the per-face gains onto vertices.
+
+    The interpolated per-vertex field is C0-continuous across every edge, so
+    brightness steps at view seams vanish entirely instead of only shrinking
+    — the role of texrecon's local (Poisson) seam leveling on top of the
+    global per-face solve."""
+    sums = np.zeros(num_vertices)
+    counts = np.zeros(num_vertices)
+    for k in range(3):
+        np.add.at(sums, faces[:, k], face_gains)
+        np.add.at(counts, faces[:, k], 1.0)
+    return sums / np.maximum(counts, 1.0)
 
 
 def face_adjacency(faces: np.ndarray) -> np.ndarray:

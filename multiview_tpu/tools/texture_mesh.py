@@ -82,8 +82,11 @@ def run(args):
         adjacency = texturing.face_adjacency(faces)
         gains = texturing.global_seam_leveling(face_lum, bv, adjacency)
 
+    vgains = (texturing.vertex_gains_from_faces(len(verts), faces, gains)
+              if gains is not None else None)
     page = texturing.render_atlas(atlas, verts, faces, best, visible, images,
-                                  cams, list(poses_j), face_gain=gains)
+                                  cams, list(poses_j), face_gain=gains,
+                                  vertex_gain=vgains)
     out = Path(args.out_dir)
     obj = texturing.write_textured_obj(out / "textured_mesh", verts, faces,
                                        atlas, page)

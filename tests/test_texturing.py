@@ -142,3 +142,43 @@ class TestSeamLeveling:
         corrected = colors + g
         # across-seam difference eliminated
         assert abs(corrected[2] - corrected[3]) < 1e-3
+
+
+class TestLocalSeamLeveling:
+    def test_vertex_gains_continuous_across_seam(self):
+        """Per-vertex gains agree on shared vertices (C0 at seams) and the
+        rendered correction interpolates them."""
+        # two quads sharing an edge, different views with brightness offset
+        verts = np.array([[0., 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+                          [2, 0, 0], [2, 1, 0]])
+        faces = np.array([[0, 1, 2], [0, 2, 3], [1, 4, 5], [1, 5, 2]], np.int32)
+        face_gains = np.array([0.2, 0.2, -0.2, -0.2])
+        vg = texturing.vertex_gains_from_faces(len(verts), faces, face_gains)
+        # seam-edge vertices (1, 2) blend both sides: strictly between the
+        # two face gains; outer vertices keep their side's gain
+        assert np.all(np.abs(vg[[1, 2]]) < 0.1)
+        np.testing.assert_allclose(vg[[0, 3]], 0.2, atol=1e-12)
+        np.testing.assert_allclose(vg[[4, 5]], -0.2, atol=1e-12)
+
+    def test_render_with_vertex_gain(self):
+        import jax.numpy as jnp
+        from multiview_tpu.geometry.camera import CameraParams
+        verts = np.array([[-0.5, -0.5, 0], [0.5, -0.5, 0],
+                          [0.5, 0.5, 0], [-0.5, 0.5, 0.]])
+        faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+        cam_pose = syn.look_at_pose(np.array([0.0, 1e-6, 2.0]), np.zeros(3))
+        cam = CameraParams.create((100, 100), (100.0, 100.0), (50.0, 50.0))
+        img = np.full((100, 100), 0.5, np.float32)
+        best, visible = texturing.view_selection(
+            jnp.asarray(verts), jnp.asarray(faces),
+            jnp.asarray(cam_pose)[None], occlusion=False)
+        atlas = texturing.build_atlas(verts, faces, pixel_size=0.05)
+        vg = np.array([0.4, 0.0, -0.4, 0.0])
+        page = texturing.render_atlas(atlas, verts, faces, best, visible,
+                                      [img], [cam], [jnp.asarray(cam_pose)],
+                                      vertex_gain=vg, max_chart=32)
+        # corrected page spans a gradient beyond the flat 0.5 input
+        x0, y0 = atlas.face_uv0[0]
+        w, h = np.minimum(atlas.face_wh[0], 32)
+        chart = page[y0:y0 + h, x0:x0 + w]
+        assert chart.max() - chart.min() > 0.3
