@@ -88,3 +88,42 @@ def shard_observations(observations: prob.Observations, mesh: Mesh) -> prob.Obse
 def replicate(tree, mesh: Mesh):
     rep = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), tree)
+
+
+# ----------------------------------------------------------------------------
+# TSDF map-block sharding (SURVEY.md 2.3: voxblox's role scaled across chips)
+# ----------------------------------------------------------------------------
+
+
+def pad_tsdf_grid(grid, multiple: int):
+    """Pad the grid's X extent to a multiple of the device count. Padded
+    slabs have zero weight, so extraction and further integration ignore
+    them; the origin is unchanged (padding grows the +X side)."""
+    from multiview_tpu.dense import tsdf as tsdf_mod
+    X = grid.shape[0]
+    pad = (-X) % multiple
+    if pad == 0:
+        return grid
+    def padx(a):
+        return jnp.concatenate(
+            [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
+    return dataclasses.replace(grid, tsdf=padx(grid.tsdf),
+                               weight=padx(grid.weight),
+                               intensity=padx(grid.intensity))
+
+
+def shard_tsdf_grid(grid, mesh: Mesh):
+    """Shard the volume along the X slab axis; each device owns a contiguous
+    slab. The projective integrator (dense/tsdf.py) updates every voxel
+    independently from a (replicated) depth image, so integration runs with
+    zero cross-device communication — the TSDF-block sharding of SURVEY.md
+    2.3 without voxblox's block hash map."""
+    grid = pad_tsdf_grid(grid, mesh.devices.size)
+    slab = NamedSharding(mesh, P(OBS_AXIS))
+    rep = NamedSharding(mesh, P())
+    return dataclasses.replace(
+        grid,
+        tsdf=jax.device_put(grid.tsdf, slab),
+        weight=jax.device_put(grid.weight, slab),
+        intensity=jax.device_put(grid.intensity, slab),
+        origin=jax.device_put(grid.origin, rep))

@@ -259,16 +259,49 @@ def global_poses(graph: ViewGraph, num_views: int) -> jnp.ndarray:
     return pose_mod.make_pose(t, q)
 
 
-def view_graph_from_matches(pair_data, num_views: int, dtype=jnp.float64) -> ViewGraph:
+def _pair_track_ranges(x1, x2, R_ij, t_ij, inliers):
+    """Two-view midpoint triangulation with unit baseline: per-correspondence
+    ranges (distance from each camera center) in a common metric where
+    ||c_j - c_i|| = 1. Returns (range_i [K], range_j [K], valid [K])."""
+    d1 = np.concatenate([x1, np.ones((len(x1), 1))], axis=1)
+    d1 /= np.linalg.norm(d1, axis=1, keepdims=True)
+    d2 = np.concatenate([x2, np.ones((len(x2), 1))], axis=1)
+    d2 /= np.linalg.norm(d2, axis=1, keepdims=True)
+    R = np.asarray(R_ij)
+    c = -R.T @ np.asarray(t_ij)              # camera-j center in frame i
+    d2i = d2 @ R                             # R^T d2, per row
+    # min || a d1 - (c + b d2i) ||^2 over (a, b)
+    d11 = np.sum(d1 * d1, axis=1)
+    d22 = np.sum(d2i * d2i, axis=1)
+    d12 = np.sum(d1 * d2i, axis=1)
+    c1 = d1 @ c
+    c2 = d2i @ c
+    det = d11 * d22 - d12 * d12
+    det = np.where(np.abs(det) > 1e-12, det, 1e-12)
+    a = (c1 * d22 - c2 * d12) / det
+    b = (c1 * d12 - c2 * d11) / det
+    pt = 0.5 * (a[:, None] * d1 + (c[None, :] + b[:, None] * d2i))
+    r_i = np.linalg.norm(pt, axis=1)
+    r_j = np.linalg.norm(pt - c[None, :], axis=1)
+    valid = np.asarray(inliers, bool) & (a > 1e-6) & (b > 1e-6)
+    return r_i, r_j, valid
+
+
+def view_graph_from_matches(pair_data, num_views: int, dtype=jnp.float64,
+                            pair_pids=None):
     """Build a ViewGraph from per-pair unit-plane correspondences.
 
     pair_data: {(i,j): (x1 [K,2], x2 [K,2])} normalized (unit-plane) coords.
     Runs essential RANSAC + decomposition per pair (vmappable sizes vary, so
     per-pair host loop; each pair's RANSAC is one jitted batch).
+
+    With ``pair_pids`` ({(i,j): [K] track ids}), also returns per-edge track
+    ranges ``[{view: {pid: range}}]`` in the edge's unit-baseline metric —
+    the raw material for baseline-scale recovery (edge_scales_from_ranges).
     """
     from multiview_tpu.sfm import ransac as ransac_mod
 
-    edges, rots, dirs, weights = [], [], [], []
+    edges, rots, dirs, weights, ranges = [], [], [], [], []
     for (i, j), (x1, x2) in pair_data.items():
         res = ransac_mod.ransac_essential(jnp.asarray(x1), jnp.asarray(x2))
         if int(res.num_inliers) < 16:
@@ -286,12 +319,106 @@ def view_graph_from_matches(pair_data, num_views: int, dtype=jnp.float64) -> Vie
         n = np.linalg.norm(cji)
         dirs.append(cji / max(n, 1e-12))
         weights.append(float(res.num_inliers))
+        if pair_pids is not None:
+            r_i, r_j, valid = _pair_track_ranges(
+                np.asarray(x1), np.asarray(x2), R_ij, t_ij,
+                np.asarray(res.inliers))
+            pids = np.asarray(pair_pids[(i, j)])
+            ranges.append({
+                i: {int(p): float(r) for p, r, v in zip(pids, r_i, valid) if v},
+                j: {int(p): float(r) for p, r, v in zip(pids, r_j, valid) if v},
+            })
 
-    return ViewGraph(
+    graph = ViewGraph(
         edges=jnp.asarray(np.asarray(edges, np.int32)),
         rel_rot=jnp.asarray(np.stack(rots), dtype),
         rel_dir=jnp.asarray(np.stack(dirs), dtype),  # cam-i frame!
         weight=jnp.asarray(np.asarray(weights), dtype))
+    if pair_pids is not None:
+        return graph, ranges
+    return graph
+
+
+def edge_scales_from_ranges(graph: ViewGraph, ranges) -> np.ndarray:
+    """Per-edge baseline lengths (up to one global scale) from shared tracks.
+
+    Two edges sharing a view see common tracks at ranges inversely
+    proportional to their baseline scales: s_e * range_e(p, v) =
+    s_f * range_f(p, v) = the true range. Each shared (edge, edge, view)
+    triple contributes log s_e - log s_f = median_p log(range_f / range_e);
+    the log-scale LS system is solved host-side (E x E, E = #edges).
+    Returns scales [E] with geometric mean 1. Edges with no shared-track
+    constraint keep scale 1 (the direction-only behavior).
+    """
+    E = len(ranges)
+    rows, rhs = [], []
+    for e in range(E):
+        for f in range(e + 1, E):
+            for v in ranges[e]:
+                if v not in ranges[f]:
+                    continue
+                common = set(ranges[e][v]) & set(ranges[f][v])
+                if len(common) < 3:
+                    continue
+                logs = [np.log(ranges[f][v][p] / ranges[e][v][p])
+                        for p in common
+                        if ranges[f][v][p] > 1e-9 and ranges[e][v][p] > 1e-9]
+                if not logs:
+                    continue
+                row = np.zeros(E)
+                row[e] = 1.0
+                row[f] = -1.0
+                rows.append(row)
+                rhs.append(np.median(logs))
+    if not rows:
+        return np.ones(E)
+    # gauge: mean log scale = 0
+    rows.append(np.ones(E) / E)
+    rhs.append(0.0)
+    A = np.stack(rows)
+    b = np.asarray(rhs)
+    logs, *_ = np.linalg.lstsq(A, b, rcond=None)
+    return np.exp(logs - logs.mean())
+
+
+def position_estimation_with_scales(graph: ViewGraph, scales,
+                                    irls_rounds: int = 8,
+                                    loss_scale: float = 0.05) -> jnp.ndarray:
+    """Camera centers from full baseline vectors b_e = s_e d_e (world frame):
+    min sum_e w_e |c_j - c_i - b_e|^2, IRLS soft-L1 (the LUD role with known
+    per-edge scales — determined even for collinear trajectories, where
+    direction-only averaging is degenerate). Matrix-free CG on the weighted
+    graph Laplacian; gauge fixed by centering on c_0."""
+    edges = jnp.asarray(graph.edges)
+    i_idx = edges[:, 0]
+    j_idx = edges[:, 1]
+    d = jnp.asarray(graph.rel_dir)
+    b = jnp.asarray(scales, d.dtype)[:, None] * d        # [E,3]
+    base_w = jnp.asarray(graph.weight, d.dtype)
+    V = int(jnp.max(edges)) + 1
+
+    def solve(w, c0):
+        def matvec(c):
+            diff = c[j_idx] - c[i_idx]
+            out = jnp.zeros((V, 3), d.dtype)
+            out = out.at[i_idx].add(-w[:, None] * diff)
+            out = out.at[j_idx].add(w[:, None] * diff)
+            return out + 1e-9 * c
+        rhs = jnp.zeros((V, 3), d.dtype)
+        rhs = rhs.at[i_idx].add(-w[:, None] * b)
+        rhs = rhs.at[j_idx].add(w[:, None] * b)
+        c, _ = jax.scipy.sparse.linalg.cg(matvec, rhs, x0=c0, maxiter=200,
+                                          tol=1e-10)
+        return c
+
+    c = solve(base_w, jnp.zeros((V, 3), d.dtype))
+    w = base_w
+    for _ in range(irls_rounds):
+        resid = jnp.linalg.norm(c[j_idx] - c[i_idx] - b, axis=-1)
+        scale_norm = jnp.maximum(jnp.mean(jnp.linalg.norm(b, axis=-1)), 1e-12)
+        w = base_w / jnp.sqrt(1.0 + (resid / (loss_scale * scale_norm)) ** 2)
+        c = solve(w, c)
+    return c - c[0]
 
 
 def rel_dir_to_world(graph: ViewGraph, rotations: jnp.ndarray) -> ViewGraph:
@@ -302,11 +429,31 @@ def rel_dir_to_world(graph: ViewGraph, rotations: jnp.ndarray) -> ViewGraph:
     return graph._replace(rel_dir=d_world)
 
 
-def run_global_sfm(pair_data, num_views: int, dtype=jnp.float64) -> jnp.ndarray:
-    """pair correspondences -> initial world->cam poses [V,7] (up to scale)."""
-    graph = view_graph_from_matches(pair_data, num_views, dtype)
+def run_global_sfm(pair_data, num_views: int, dtype=jnp.float64,
+                   pair_pids=None) -> jnp.ndarray:
+    """pair correspondences -> initial world->cam poses [V,7] (up to scale).
+
+    With ``pair_pids`` (track ids per pair correspondence), per-edge baseline
+    scales are recovered from shared-track range ratios and positions come
+    from full baseline vectors — robust to collinear trajectories."""
+    ranges = None
+    if pair_pids is not None:
+        graph, ranges = view_graph_from_matches(pair_data, num_views, dtype,
+                                                pair_pids=pair_pids)
+    else:
+        graph = view_graph_from_matches(pair_data, num_views, dtype)
+    full_edges = np.asarray(graph.edges)
     q, graph = robust_rotation_averaging(graph, num_views)
     graph = rel_dir_to_world(graph, q)
-    c = position_estimation(graph, q, num_views)
+    if ranges is not None:
+        if graph.edges.shape[0] < len(full_edges):
+            kept = {tuple(e) for e in np.asarray(graph.edges)}
+            ranges = [r for e, r in zip(full_edges, ranges)
+                      if tuple(e) in kept]
+        scales = edge_scales_from_ranges(graph, ranges)
+        # mean baseline 1 (same normalization as direction-only path)
+        c = position_estimation_with_scales(graph, scales / scales.mean())
+    else:
+        c = position_estimation(graph, q, num_views)
     t = -pose_mod.quat_rotate(q, c)
     return pose_mod.make_pose(t, q)

@@ -45,12 +45,14 @@ def face_geometry(vertices, faces):
     return ctr, n, area
 
 
-def view_selection(vertices, faces, world_to_cam_poses, occlusion: bool = True,
-                   max_dist: float = 100.0):
-    """Best view per face by cost = view-angle + distance with occlusion test
-    (projectTexture cost, texture_processing.cc:1044-1087).
+def view_costs(vertices, faces, world_to_cam_poses, occlusion: bool = True,
+               max_dist: float = 100.0, max_angle_deg: float = 90.0):
+    """Per-(face, view) cost = view-angle + distance, with facing /
+    in-front / angle-gate / occlusion usability tests (projectTexture cost,
+    texture_processing.cc:1044-1087; the UV variant additionally gates the
+    face-normal-to-camera angle at 75 deg, :1055-1058).
 
-    Returns (best_view [F] int32, visible [F] bool).
+    Returns (cost [F,V] float with +inf at unusable entries, usable [F,V]).
     """
     ctr, normal, _ = face_geometry(vertices, faces)
     c2w = pose_mod.pose_inverse(world_to_cam_poses)     # [V,7]
@@ -65,12 +67,13 @@ def view_selection(vertices, faces, world_to_cam_poses, occlusion: bool = True,
     ang = jnp.arccos(jnp.clip(cosang, -1.0, 1.0))
     cost = ang + dist
     facing = cosang > 0.0
+    angle_ok = ang <= jnp.deg2rad(max_angle_deg)
 
     # front-of-camera test: face center must project with positive depth
     Xc = pose_mod.pose_apply(world_to_cam_poses[None, :, :], ctr[:, None, :])
     in_front = Xc[..., 2] > 1e-6
 
-    usable = facing & in_front & (dist < max_dist)
+    usable = facing & angle_ok & in_front & (dist < max_dist)
 
     if occlusion:
         # ray from just-off-surface face center toward each camera; if the
@@ -86,9 +89,140 @@ def view_selection(vertices, faces, world_to_cam_poses, occlusion: bool = True,
         usable = usable & ~blocked
 
     cost = jnp.where(usable, cost, jnp.inf)
+    return cost, usable
+
+
+def view_selection(vertices, faces, world_to_cam_poses, occlusion: bool = True,
+                   max_dist: float = 100.0, max_angle_deg: float = 90.0):
+    """Best view per face by cost = view-angle + distance with occlusion test
+    (projectTexture cost, texture_processing.cc:1044-1087).
+
+    Returns (best_view [F] int32, visible [F] bool).
+    """
+    cost, _ = view_costs(vertices, faces, world_to_cam_poses,
+                         occlusion=occlusion, max_dist=max_dist,
+                         max_angle_deg=max_angle_deg)
     best = jnp.argmin(cost, axis=-1).astype(jnp.int32)
     visible = jnp.isfinite(jnp.min(cost, axis=-1))
     return best, visible
+
+
+def sample_face_view_colors(vertices, faces, images: Sequence,
+                            cams: Sequence[CameraParams], world_to_cam_poses,
+                            usable) -> jnp.ndarray:
+    """Mean color of each face as seen in each view: face centers projected
+    through the full distortion model and bilinearly sampled -> [F,V]
+    luminance (the per-face-per-view color texrecon's photometric outlier
+    removal operates on). Unusable entries are 0."""
+    ctr, _, _ = face_geometry(vertices, faces)
+    cols = []
+    for v in range(len(images)):
+        Xc = pose_mod.pose_apply(jnp.asarray(world_to_cam_poses[v]), ctr)
+        safe = jnp.where((Xc[:, 2:3] > 1e-6), Xc,
+                         jnp.asarray([0.0, 0.0, 1.0], Xc.dtype))
+        pix = cams[v].project_cam_to_dist_pix(safe)
+        img = jnp.asarray(np.asarray(images[v], np.float32))
+        if img.ndim == 3:
+            img = jnp.mean(img, axis=-1)
+        cols.append(_bilinear(img, pix[:, 0], pix[:, 1]))
+    colors = jnp.stack(cols, axis=1)                     # [F,V]
+    return jnp.where(usable, colors, 0.0)
+
+
+def _masked_median(x, mask):
+    """Row-wise median over masked entries; 0 where a row is empty."""
+    big = jnp.where(mask, x, jnp.inf)
+    s = jnp.sort(big, axis=1)
+    n = jnp.sum(mask, axis=1)
+    lo = jnp.take_along_axis(s, jnp.maximum((n - 1) // 2, 0)[:, None], axis=1)
+    hi = jnp.take_along_axis(s, jnp.maximum(n // 2, 0)[:, None], axis=1)
+    med = 0.5 * (lo + hi)
+    return jnp.where(n[:, None] > 0, med, 0.0)
+
+
+def gauss_clamping(face_view_colors, usable, iterations: int = 4,
+                   reject_threshold: float = 6e-3, min_sigma: float = 1e-3):
+    """Photometric outlier removal (texrecon's ``-o gauss_clamping``,
+    `bin/texrecon:142`): per face, the per-view mean colors are modeled as a
+    Gaussian; views whose density value falls below the rejection threshold
+    are dropped, iterating until stable. The center/spread are median/MAD
+    (a non-robust mean/std lets a single strong outlier inflate sigma enough
+    to keep itself). Returns (usable [F,V], weights [F,V]) where weights
+    multiply the view quality (1 at the center, ->0 for photometric
+    outliers).
+    """
+    colors = jnp.asarray(face_view_colors, jnp.float32)
+    keep = jnp.asarray(usable)
+
+    def stats(keep):
+        med = _masked_median(colors, keep)
+        mad = _masked_median(jnp.abs(colors - med), keep)
+        sigma = jnp.maximum(1.4826 * mad, min_sigma)
+        return med, sigma
+
+    def body(_, keep):
+        med, sigma = stats(keep)
+        gauss = jnp.exp(-0.5 * ((colors - med) / sigma) ** 2)
+        new_keep = keep & (gauss >= reject_threshold)
+        # never drop a face to zero views (keeps faces textured)
+        enough = jnp.sum(new_keep, axis=1, keepdims=True) >= 1
+        return jnp.where(enough, new_keep, keep)
+
+    keep = jax.lax.fori_loop(0, iterations, body, keep)
+    med, sigma = stats(keep)
+    weights = jnp.exp(-0.5 * ((colors - med) / sigma) ** 2)
+    return keep, jnp.where(keep, weights, 0.0)
+
+
+def face_neighbors(faces: np.ndarray, adjacency: np.ndarray) -> np.ndarray:
+    """Padded per-face neighbor table [F,3] (triangles have <=3 edge
+    neighbors), -1 where absent. Host-side, from face_adjacency pairs."""
+    nbr = np.full((len(faces), 3), -1, np.int32)
+    cnt = np.zeros(len(faces), np.int32)
+    for a, b in np.asarray(adjacency):
+        if cnt[a] < 3:
+            nbr[a, cnt[a]] = b
+            cnt[a] += 1
+        if cnt[b] < 3:
+            nbr[b, cnt[b]] = a
+            cnt[b] += 1
+    return nbr
+
+
+def mrf_view_selection(cost, usable, neighbors, smoothness: float = 0.1,
+                       iterations: int = 20):
+    """View-selection labeling as a Potts MRF on the face-adjacency graph —
+    the mapmap solver's role in texrecon (SURVEY.md 2.2): labels minimize
+    sum_f cost[f, l_f] + smoothness * sum_{(a,b) adj} [l_a != l_b].
+
+    Solved with synchronous checkerboard ICM: each sweep updates half the
+    faces (by index parity) to their best response given fixed neighbors —
+    a batched, compiled loop instead of mapmap's sequential message passing.
+
+    Returns (best_view [F] int32, visible [F] bool).
+    """
+    cost = jnp.asarray(cost)
+    F, V = cost.shape
+    nbr = jnp.asarray(neighbors)                        # [F,3]
+    nbr_valid = (nbr >= 0)
+    nbr_safe = jnp.maximum(nbr, 0)
+    visible = jnp.isfinite(jnp.min(cost, axis=-1))
+    labels0 = jnp.argmin(cost, axis=-1).astype(jnp.int32)
+    parity = jnp.arange(F) % 2
+
+    def sweep(i, labels):
+        nl = labels[nbr_safe]                           # [F,3]
+        # #neighbors disagreeing with each candidate label: [F,V]
+        mismatch = jnp.sum(
+            (nl[:, :, None] != jnp.arange(V, dtype=jnp.int32)[None, None, :])
+            & nbr_valid[:, :, None], axis=1)
+        total = cost + smoothness * mismatch.astype(cost.dtype)
+        new = jnp.argmin(total, axis=-1).astype(jnp.int32)
+        active = (parity == (i % 2)) & visible
+        return jnp.where(active, new, labels)
+
+    labels = jax.lax.fori_loop(0, iterations, sweep, labels0)
+    return labels, visible
 
 
 # ----------------------------------------------------------------------------

@@ -36,6 +36,10 @@ def add_args(p: argparse.ArgumentParser):
     p.add_argument("--depth_tri_weight", type=float, default=0.0)
     p.add_argument("--mesh", help="PLY mesh for mesh-based constraints")
     p.add_argument("--mesh_tri_weight", type=float, default=0.0)
+    p.add_argument("--out_texture_dir", default="",
+                   help="project the mesh into every optimized camera and "
+                        "write per-camera textured OBJs there "
+                        "(meshProjectCameras, rig_calibrator.cc --out_texture_dir)")
     p.add_argument("--min_ray_dist", type=float, default=0.0)
     p.add_argument("--max_ray_dist", type=float, default=100.0)
     p.add_argument("--tri_weight", type=float, default=0.0)
@@ -258,6 +262,24 @@ def run(args):
         _write_solution_nvm(out / "cameras.nvm", rig, cams, state, mats,
                             trackset, result.observations)
         print(f"Writing: {out/'cameras.nvm'}")
+
+    if args.out_texture_dir:
+        # per-camera forward projection of the constraint mesh with the
+        # optimized cameras (rig_calibrator.cc:2008-2016 -> meshProjectCameras)
+        if not args.mesh:
+            raise SystemExit("--out_texture_dir needs --mesh")
+        if not args.images:
+            raise SystemExit("--out_texture_dir needs --images")
+        from multiview_tpu.texture import mesh_project as mp
+        cam_params_opt = []
+        for s in range(len(sensor_names)):
+            cam_params_opt.append(common.cam_params_from_sensor(rig.sensors[s]))
+        mp.mesh_project_cameras(
+            sensor_names, cam_params_opt,
+            [c.image for c in cams], [c.timestamp for c in cams],
+            [c.camera_type for c in cams],
+            [jnp.asarray(p) for p in w2c_final],
+            mesh_data["vertices"], mesh_data["faces"], args.out_texture_dir)
 
     if args.save_matches:
         from multiview_tpu.io import match_file

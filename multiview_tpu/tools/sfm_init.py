@@ -17,6 +17,9 @@ def add_args(p: argparse.ArgumentParser):
     p.add_argument("--out_dir", required=True)
     p.add_argument("--num_overlaps", type=int, default=3)
     p.add_argument("--max_features", type=int, default=1000)
+    p.add_argument("--num_ba_iterations", type=int, default=30,
+                   help="robust BA refinement after global init (Theia's "
+                        "build_reconstruction BA stage); 0 disables")
 
 
 def run(args):
@@ -47,6 +50,7 @@ def run(args):
 
     # pairwise unit-plane correspondences from the tracks
     pair_data = {}
+    pair_pids = {}
     for pid, track in enumerate(trackset.tracks):
         cids = sorted(track)
         for a in range(len(cids)):
@@ -62,11 +66,44 @@ def run(args):
                 pair_data.setdefault((i, j), ([], []))
                 pair_data[(i, j)][0].append(ui)
                 pair_data[(i, j)][1].append(uj)
+                pair_pids.setdefault((i, j), []).append(pid)
     pair_data = {k: (np.stack(v[0]), np.stack(v[1]))
                  for k, v in pair_data.items() if len(v[0]) >= 16}
+    pair_pids = {k: np.asarray(v) for k, v in pair_pids.items()
+                 if k in pair_data}
     print(f"View graph edges: {len(pair_data)}")
 
-    poses = global_sfm.run_global_sfm(pair_data, len(records))
+    poses = global_sfm.run_global_sfm(pair_data, len(records),
+                                      pair_pids=pair_pids)
+
+    # ---- robust BA refinement (TheiaSfM runs a full Huber BA after global
+    # init, theia_flags.txt:26-165 — essential here: direction-only position
+    # averaging cannot recover spacing along collinear trajectories; the
+    # reprojection constraints of shared tracks can) ----
+    if args.num_ba_iterations > 0 and len(trackset.tracks) >= 8:
+        from multiview_tpu.calib import (bracketing as br, assemble,
+                                         problem as prob, calibrator as cal)
+        entries = [br.CameraEntry(
+            camera_type=sensors_of[i], timestamp=records[i].timestamp,
+            ref_timestamp=records[i].timestamp, beg_ref_index=i,
+            end_ref_index=i, image_name=records[i].name)
+            for i in range(len(records))]
+        observations, num_points = assemble.build_observations(
+            rig, entries, None, trackset, no_rig=True)
+        poses_np = np.asarray(poses)
+        state = assemble.build_state(
+            rig, entries, poses_np,
+            np.asarray([r.timestamp for r in records]), poses_np,
+            num_points, no_rig=True)
+        spec = prob.FloatSpec(cam_poses=True)
+        opts = prob.BAOptions(no_rig=True, robust_threshold=1.0)
+        result = cal.optimize_rig(
+            state, observations, tuple(s.model for s in rig.sensors),
+            spec, opts, num_passes=1,
+            num_iterations=args.num_ba_iterations,
+            sensor_names=sensor_names, verbose=False)
+        import jax.numpy as _jnp
+        poses = _jnp.asarray(np.asarray(result.state.world_to_ref))
 
     # triangulate all tracks with the initial poses
     cam_idx, fid, pix, pid = tracks_to_arrays(trackset)

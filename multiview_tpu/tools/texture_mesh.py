@@ -22,6 +22,12 @@ def add_args(p: argparse.ArgumentParser):
                    help="texel size in meters (texture_processing.cc formModel)")
     p.add_argument("--no_seam_leveling", action="store_true")
     p.add_argument("--no_occlusion", action="store_true")
+    p.add_argument("--no_gauss_clamping", action="store_true",
+                   help="disable photometric outlier removal (texrecon's "
+                        "default outlier_removal is gauss_clamping)")
+    p.add_argument("--smoothness_weight", type=float, default=0.1,
+                   help="Potts smoothness of the view-selection MRF "
+                        "(mapmap's role in texrecon); 0 = pure best-cost")
 
 
 def run(args):
@@ -59,9 +65,23 @@ def run(args):
     print(f"Texturing from {len(images)} views")
 
     poses_j = jnp.asarray(np.stack(poses))
-    best, visible = texturing.view_selection(
+    cost, usable = texturing.view_costs(
         jnp.asarray(verts), jnp.asarray(faces), poses_j,
         occlusion=not args.no_occlusion)
+    if not args.no_gauss_clamping:
+        colors = texturing.sample_face_view_colors(
+            jnp.asarray(verts), jnp.asarray(faces), images, cams,
+            list(poses_j), usable)
+        keep, _ = texturing.gauss_clamping(colors, usable)
+        cost = jnp.where(keep, cost, jnp.inf)
+    adjacency = texturing.face_adjacency(faces)
+    if args.smoothness_weight > 0 and len(adjacency):
+        nbr = texturing.face_neighbors(faces, adjacency)
+        best, visible = texturing.mrf_view_selection(
+            cost, jnp.isfinite(cost), nbr, smoothness=args.smoothness_weight)
+    else:
+        best = jnp.argmin(cost, axis=-1).astype(jnp.int32)
+        visible = jnp.isfinite(jnp.min(cost, axis=-1))
     atlas = texturing.build_atlas(verts, faces, pixel_size=args.pixel_size)
 
     gains = None
@@ -79,7 +99,6 @@ def run(args):
             img = jnp.asarray(np.asarray(images[v], np.float32))
             from multiview_tpu.texture.texturing import _bilinear
             face_lum[sel] = np.asarray(_bilinear(img, pix[:, 0], pix[:, 1]))
-        adjacency = texturing.face_adjacency(faces)
         gains = texturing.global_seam_leveling(face_lum, bv, adjacency)
 
     vgains = (texturing.vertex_gains_from_faces(len(verts), faces, gains)

@@ -104,6 +104,36 @@ class TestCalibrateTool:
         assert len(nvm.pid_to_cid_fid) > 20
 
 
+    def test_out_texture_dir(self, workspace, tmp_path):
+        """--out_texture_dir writes one textured OBJ per camera named
+        <timestamp>_<sensor> (meshProjectCameras parity)."""
+        # a ground-plane quad small enough that all its vertices project
+        # inside camera 0's image (projectTexture skips a face if any vertex
+        # leaves the FOV, texture_processing.cc:1095-1137)
+        verts = np.array([[-0.3, -0.4, 0], [0.7, -0.4, 0],
+                          [0.7, 0.6, 0], [-0.3, 0.6, 0.0]])
+        faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+        ply.write_ply(tmp_path / "plane.ply", verts, faces)
+        out = tmp_path / "calib_tex"
+        tex = tmp_path / "texdir"
+        ret = cli_main([
+            "calibrate", "--rig_config", str(workspace / "rig_config.txt"),
+            "--camera_poses", str(workspace / "cameras.txt"),
+            "--images", str(workspace / "images"),
+            "--out_dir", str(out), "--no_rig",
+            "--num_iterations", "3", "--calibrator_num_passes", "1",
+            "--max_features", "200",
+            "--mesh", str(tmp_path / "plane.ply"),
+            "--out_texture_dir", str(tex)])
+        assert ret == 0
+        objs = sorted(tex.glob("*.obj"))
+        assert len(objs) == 5
+        assert objs[0].name.endswith("_nav_cam.obj")
+        assert objs[0].with_suffix(".png").exists()
+        text = objs[0].read_text()
+        assert "vt " in text and "\nf " in text
+
+
 class TestSfmInitTool:
     def test_sfm_init(self, workspace, tmp_path):
         out = tmp_path / "sfm"
@@ -138,6 +168,36 @@ class TestFuseMeshTool:
         # reconstructed surface is the z=0 plane
         z = mesh["vertices"][:, 2]
         assert abs(np.median(z)) < 0.2, f"median z {np.median(z)}"  # terrain relief +-0.25
+        # multi_stereo artifact layout: per-pair raw/filtered/debug clouds +
+        # voxblox index (multi_stereo:169-246)
+        pair_dirs = sorted((out / "nav_cam" / "stereo").glob("*"))
+        assert len(pair_dirs) == 4
+        for d in pair_dirs:
+            assert (d / "run-PC.pcd").exists()
+            assert (d / "run-PC-filter.pcd").exists()
+            assert (d / "run-PC-debug.ply").exists()
+            assert (d / "run_cam2world.txt").exists()
+        index = (out / "nav_cam" / "voxblox_index.txt").read_text().splitlines()
+        assert len(index) == 8
+
+    def test_fuse_mesh_resume(self, workspace, tmp_path):
+        """--first_step/--last_step resume (multi_stereo:76-85): run stereo +
+        pc_filter only, then resume at mesh_gen."""
+        out = tmp_path / "fused_resume"
+        common = [
+            "fuse-mesh", "--rig_config", str(workspace / "rig_config.txt"),
+            "--camera_poses", str(workspace / "cameras.txt"),
+            "--images", str(workspace / "images"),
+            "--out_dir", str(out),
+            "--min_depth", "1.0", "--max_depth", "4.0",
+            "--num_planes", "48", "--voxel_size", "0.08"]
+        ret = cli_main(common + ["--last_step", "pc_filter"])
+        assert ret == 0
+        assert not (out / "fused_mesh.ply").exists()
+        assert list((out / "nav_cam" / "stereo").glob("*/run-PC-filter.pcd"))
+        ret = cli_main(common + ["--first_step", "mesh_gen"])
+        assert ret == 0
+        assert (out / "fused_mesh.ply").exists()
 
     def test_texture_tool(self, workspace, tmp_path):
         fused = tmp_path / "fused2"

@@ -153,3 +153,73 @@ class TestFullPipeline:
         aligned = np.asarray(reg.apply_similarity(scale, T, jnp.asarray(ctr_est)))
         ate = np.sqrt(np.mean(np.sum((aligned - ctr_true) ** 2, -1)))
         assert ate < 0.1, f"noisy ATE {ate}"
+
+
+class TestCollinearTrajectories:
+    """Direction-only position averaging cannot recover spacing along a
+    straight-line trajectory; baseline-scale recovery from shared-track
+    range ratios can (run_global_sfm with pair_pids)."""
+
+    @staticmethod
+    def _collinear_pair_data(n_views=6, step=None):
+        w2c = []
+        for i in range(n_views):
+            pos = np.array([(step[i] if step is not None else 0.4 * i),
+                            0.1 * i, 2.0 + 0.05 * i])
+            w2c.append(syn.look_at_pose(pos, pos + np.array([0.15, 0.0, -1.0])))
+        w2c = np.stack(w2c)
+        pts = syn.cube_points(6) * np.array([2.5, 2.5, 0.2]) \
+            + np.array([1.0, 0.3, 0.0])
+        pair_data, pair_pids = {}, {}
+        pid = np.arange(len(pts))
+        for i in range(n_views):
+            for j in (i + 1, i + 2):
+                if j >= n_views:
+                    continue
+                Xi = np.asarray(P.pose_apply(jnp.asarray(w2c[i]), jnp.asarray(pts)))
+                Xj = np.asarray(P.pose_apply(jnp.asarray(w2c[j]), jnp.asarray(pts)))
+                vis = (Xi[:, 2] > 0.1) & (Xj[:, 2] > 0.1)
+                if vis.sum() >= 16:
+                    pair_data[(i, j)] = (Xi[vis, :2] / Xi[vis, 2:],
+                                         Xj[vis, :2] / Xj[vis, 2:])
+                    pair_pids[(i, j)] = pid[vis]
+        return w2c, pair_data, pair_pids
+
+    def test_uniform_spacing_recovered(self):
+        w2c, pair_data, pair_pids = self._collinear_pair_data()
+        poses = g.run_global_sfm(pair_data, len(w2c), pair_pids=pair_pids)
+        ctr_true = np.asarray(P.pose_t(P.pose_inverse(jnp.asarray(w2c))))
+        ctr_est = np.asarray(P.pose_t(P.pose_inverse(poses)))
+        scale, T = reg.find_similarity_transform(jnp.asarray(ctr_est),
+                                                 jnp.asarray(ctr_true))
+        aligned = np.asarray(reg.apply_similarity(scale, T, jnp.asarray(ctr_est)))
+        ate = np.sqrt(np.mean(np.sum((aligned - ctr_true) ** 2, -1)))
+        assert ate < 0.02, f"collinear ATE {ate}"
+
+    def test_nonuniform_spacing_recovered(self):
+        """The real test: unequal gaps along the line (pure direction
+        averaging would return *some* collinear solution, but not this one)."""
+        step = np.array([0.0, 0.2, 1.0, 1.2, 2.4, 2.6])
+        w2c, pair_data, pair_pids = self._collinear_pair_data(step=step)
+        poses = g.run_global_sfm(pair_data, len(w2c), pair_pids=pair_pids)
+        ctr_est = np.asarray(P.pose_t(P.pose_inverse(poses)))
+        d01 = np.linalg.norm(ctr_est[1] - ctr_est[0])
+        d12 = np.linalg.norm(ctr_est[2] - ctr_est[1])
+        # true ratio is 4.0
+        assert d12 > 2.5 * d01, f"{d12} !> 2.5*{d01}"
+
+    def test_edge_scales_from_ranges(self):
+        """Two edges sharing view 1 with known range ratios."""
+        graph = g.ViewGraph(
+            edges=jnp.asarray(np.array([[0, 1], [1, 2]], np.int32)),
+            rel_rot=jnp.tile(jnp.asarray([0.0, 0, 0, 1.0]), (2, 1)),
+            rel_dir=jnp.asarray(np.array([[1.0, 0, 0], [1.0, 0, 0]])),
+            weight=jnp.ones(2))
+        # edge 0 has unit baseline metric where track ranges are 2x edge 1's
+        # => s_0 * r_0 = s_1 * r_1 => s_1 = 2 s_0
+        ranges = [
+            {0: {}, 1: {10: 2.0, 11: 4.0, 12: 6.0}},
+            {1: {10: 1.0, 11: 2.0, 12: 3.0}, 2: {}},
+        ]
+        s = g.edge_scales_from_ranges(graph, ranges)
+        np.testing.assert_allclose(s[1] / s[0], 2.0, rtol=1e-6)

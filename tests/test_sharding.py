@@ -61,3 +61,61 @@ class TestShardedSolve:
         rp = prob.all_residuals(scene.true_state, obs_p, scene.models, opts)
         np.testing.assert_allclose(float(jnp.sum(r0 * r0)),
                                    float(jnp.sum(rp * rp)), rtol=1e-12)
+
+
+class TestTsdfSharding:
+    """TSDF map-block sharding (SURVEY.md 2.3): integration over a
+    slab-sharded grid must equal the single-device result and keep the slab
+    sharding on its outputs (no implicit gather)."""
+
+    def _scene_frames(self):
+        from multiview_tpu.utils import synthetic as syn2
+        rng = np.random.default_rng(0)
+        frames = []
+        for i in range(3):
+            pos = np.array([0.1 * i, -0.05 * i, 2.0])
+            c2w_pose = np.asarray(
+                __import__("multiview_tpu.geometry.pose", fromlist=["x"])
+                .pose_inverse(jnp.asarray(syn2.look_at_pose(pos, np.zeros(3)))))
+            depth = 2.0 + 0.05 * rng.random((48, 64))
+            frames.append((jnp.asarray(depth, jnp.float32),
+                           jnp.asarray(c2w_pose, jnp.float32)))
+        return frames
+
+    def test_sharded_integration_matches(self):
+        from multiview_tpu.dense import tsdf
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        focal = jnp.asarray([60.0, 60.0])
+        center = jnp.asarray([32.0, 24.0])
+        frames = self._scene_frames()
+
+        grid1 = tsdf.make_grid((40, 32, 32), origin=(-1.0, -0.8, -0.8),
+                               voxel_size=0.05)
+        for depth, c2w in frames:
+            grid1 = tsdf.integrate_depth_image(grid1, depth, focal, center, c2w)
+
+        mesh = sh.make_mesh()
+        grid2 = tsdf.make_grid((40, 32, 32), origin=(-1.0, -0.8, -0.8),
+                               voxel_size=0.05)
+        grid2 = sh.shard_tsdf_grid(grid2, mesh)
+        step = jax.jit(tsdf.integrate_depth_image,
+                       static_argnames=("max_range", "max_weight"))
+        for depth, c2w in frames:
+            grid2 = step(grid2, depth, focal, center, c2w)
+
+        # f32: jit fusion order differs between the two paths
+        np.testing.assert_allclose(np.asarray(grid2.tsdf), np.asarray(grid1.tsdf),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(grid2.weight),
+                                   np.asarray(grid1.weight), atol=1e-5)
+        # output stays slab-sharded: integration is communication-free
+        slab = NamedSharding(mesh, P(sh.OBS_AXIS))
+        assert grid2.tsdf.sharding.is_equivalent_to(slab, grid2.tsdf.ndim)
+
+    def test_pad_tsdf_grid(self):
+        from multiview_tpu.dense import tsdf
+        grid = tsdf.make_grid((13, 8, 8), origin=(0, 0, 0), voxel_size=0.1)
+        padded = sh.pad_tsdf_grid(grid, 8)
+        assert padded.shape[0] == 16
+        assert float(jnp.sum(padded.weight)) == 0.0

@@ -182,3 +182,158 @@ class TestLocalSeamLeveling:
         w, h = np.minimum(atlas.face_wh[0], 32)
         chart = page[y0:y0 + h, x0:x0 + w]
         assert chart.max() - chart.min() > 0.3
+
+
+class TestGaussClamping:
+    def test_outlier_view_rejected(self):
+        """10 views agree on a color, one is photometrically wild (occluder,
+        highlight) -> it must be dropped and the consistent ones kept."""
+        F, V = 5, 11
+        rng = np.random.default_rng(0)
+        colors = 0.5 + 0.01 * rng.normal(size=(F, V))
+        colors[:, 3] = 0.95                      # outlier view
+        usable = np.ones((F, V), bool)
+        keep, w = texturing.gauss_clamping(colors, usable)
+        keep = np.asarray(keep)
+        assert not keep[:, 3].any()
+        assert keep[:, :3].all() and keep[:, 4:].all()
+        w = np.asarray(w)
+        assert (w[:, 3] == 0).all()
+
+    def test_unusable_stays_unusable(self):
+        colors = np.full((2, 4), 0.5)
+        usable = np.ones((2, 4), bool)
+        usable[0, 1] = False
+        keep, _ = texturing.gauss_clamping(colors, usable)
+        assert not bool(np.asarray(keep)[0, 1])
+
+    def test_keeps_at_least_one_view(self):
+        """Two wildly different views: never drop a face to zero views."""
+        colors = np.array([[0.1, 0.9]])
+        usable = np.ones((1, 2), bool)
+        keep, _ = texturing.gauss_clamping(colors, usable)
+        assert np.asarray(keep).sum() >= 1
+
+
+class TestMrfViewSelection:
+    def test_smoothness_flips_isolated_label(self):
+        """A strip of faces where one face marginally prefers a different
+        view: with Potts smoothness it joins its neighbors (the mapmap
+        role); with zero smoothness it keeps its own best view."""
+        F, V = 5, 2
+        cost = np.full((F, V), 1.0)
+        cost[:, 0] = 0.5               # all prefer view 0 ...
+        cost[2, 0], cost[2, 1] = 0.6, 0.55   # ... face 2 marginally prefers 1
+        adjacency = np.array([[i, i + 1] for i in range(F - 1)], np.int32)
+        nbr = texturing.face_neighbors(np.zeros((F, 3), np.int32), adjacency)
+        labels0, vis0 = texturing.mrf_view_selection(cost, cost < np.inf, nbr,
+                                                     smoothness=0.0)
+        assert int(np.asarray(labels0)[2]) == 1
+        labels, vis = texturing.mrf_view_selection(cost, cost < np.inf, nbr,
+                                                   smoothness=0.2)
+        assert int(np.asarray(labels)[2]) == 0
+        assert np.asarray(vis).all()
+
+    def test_strong_data_term_survives(self):
+        """A face whose data cost strongly prefers a different view keeps it
+        even with smoothness on."""
+        F, V = 3, 2
+        cost = np.array([[0.1, 1.0], [0.1, 1.0], [5.0, 0.1]])
+        adjacency = np.array([[0, 1], [1, 2]], np.int32)
+        nbr = texturing.face_neighbors(np.zeros((F, 3), np.int32), adjacency)
+        labels, _ = texturing.mrf_view_selection(cost, cost < np.inf, nbr,
+                                                 smoothness=0.2)
+        assert int(np.asarray(labels)[2]) == 1
+
+    def test_infinite_cost_never_chosen(self):
+        cost = np.array([[np.inf, 1.0], [0.5, np.inf]])
+        adjacency = np.array([[0, 1]], np.int32)
+        nbr = texturing.face_neighbors(np.zeros((2, 3), np.int32), adjacency)
+        labels, vis = texturing.mrf_view_selection(cost, np.isfinite(cost),
+                                                   nbr, smoothness=10.0,
+                                                   iterations=8)
+        labels = np.asarray(labels)
+        assert int(labels[0]) == 1 and int(labels[1]) == 0
+        assert np.asarray(vis).all()
+
+
+class TestSampleFaceViewColors:
+    def test_colors_match_image(self):
+        verts, faces = make_quad_mesh(half=0.5)
+        cam_pose = syn.look_at_pose(np.array([0.0, 1e-6, 2.0]), np.zeros(3))
+        cam = CameraParams.create((100, 100), (100.0, 100.0), (50.0, 50.0))
+        img = np.full((100, 100), 0.25, np.float32)
+        usable = jnp.ones((2, 1), bool)
+        colors = texturing.sample_face_view_colors(
+            jnp.asarray(verts), jnp.asarray(faces), [img], [cam],
+            [jnp.asarray(cam_pose)], usable)
+        np.testing.assert_allclose(np.asarray(colors), 0.25, atol=1e-5)
+
+
+class TestMeshProject:
+    """Per-camera forward projection (meshProject/meshProjectCameras,
+    texture_processing.cc:1483-1561)."""
+
+    def test_uv_and_visibility(self, tmp_path):
+        from multiview_tpu.texture import mesh_project as mp
+        verts, faces = make_quad_mesh(half=0.5)
+        cam_pose = syn.look_at_pose(np.array([0.0, 1e-6, 2.0]), np.zeros(3))
+        cam = CameraParams.create((100, 100), (100.0, 100.0), (50.0, 50.0))
+        face_ok, uv, cost = mp.project_texture_uv(
+            verts, faces, cam, jnp.asarray(cam_pose), (100, 100))
+        assert np.asarray(face_ok).all()
+        uv = np.asarray(uv)
+        assert (uv >= 0).all() and (uv <= 1).all()
+        # center vertex block: quad spans +-0.5 at depth 2 with f=100 ->
+        # +-25px around center -> u in [0.25, 0.75]
+        assert uv[:, 0].min() > 0.2 and uv[:, 0].max() < 0.8
+
+    def test_backfacing_rejected(self):
+        from multiview_tpu.texture import mesh_project as mp
+        verts, faces = make_quad_mesh(half=0.5)
+        cam_above = syn.look_at_pose(np.array([0.0, 1e-6, 2.0]), np.zeros(3))
+        cam_below = syn.look_at_pose(np.array([0.0, 1e-6, -2.0]), np.zeros(3))
+        cam = CameraParams.create((100, 100), (100.0, 100.0), (50.0, 50.0))
+        ok_a, _, _ = mp.project_texture_uv(verts, faces, cam,
+                                           jnp.asarray(cam_above), (100, 100))
+        ok_b, _, _ = mp.project_texture_uv(verts, faces, cam,
+                                           jnp.asarray(cam_below), (100, 100))
+        # exactly one camera sees the (single-sided) quad
+        assert np.asarray(ok_a).all() != np.asarray(ok_b).all()
+        assert np.asarray(ok_a).all() or np.asarray(ok_b).all()
+
+    def test_occluded_rejected(self):
+        """Occluder sized to stay inside the FOV (unlike view_selection's
+        face-center test, projectTexture requires every vertex to project
+        in-image, texture_processing.cc:1112-1137)."""
+        from multiview_tpu.texture import mesh_project as mp
+        gv, gf = make_quad_mesh(z=0.0, half=0.4)
+        ov, of = make_quad_mesh(z=1.0, half=0.6)
+        verts = np.concatenate([gv, ov])
+        faces = np.concatenate([gf, of + 4])
+        cam_pose = syn.look_at_pose(np.array([0.05, 1e-6, 3.0]), np.zeros(3))
+        cam = CameraParams.create((100, 100), (100.0, 100.0), (50.0, 50.0))
+        face_ok, _, _ = mp.project_texture_uv(verts, faces, cam,
+                                              jnp.asarray(cam_pose), (100, 100))
+        ok = np.asarray(face_ok)
+        assert not ok[0] and not ok[1]       # ground occluded
+        assert ok[2] and ok[3]
+
+    def test_mesh_project_cameras_files(self, tmp_path):
+        from multiview_tpu.texture import mesh_project as mp
+        verts, faces = make_quad_mesh(half=0.5)
+        cam_pose = syn.look_at_pose(np.array([0.0, 1e-6, 2.0]), np.zeros(3))
+        cam = CameraParams.create((64, 64), (64.0, 64.0), (32.0, 32.0))
+        img = np.full((64, 64), 0.5, np.float32)
+        mp.mesh_project_cameras(
+            ["nav_cam"], [cam], [img], [10001.25], [0],
+            [jnp.asarray(cam_pose)], verts, faces, tmp_path)
+        # reference naming: %10.7f_%s (texture_processing.cc:1550); the
+        # timestamp's '.' must survive into the artifact names
+        prefix = str(tmp_path / "10001.2500000_nav_cam")
+        from pathlib import Path as _P
+        assert _P(prefix + ".obj").exists()
+        assert _P(prefix + ".mtl").exists()
+        assert _P(prefix + ".png").exists()
+        text = _P(prefix + ".obj").read_text()
+        assert text.count("\nf ") == 2 and "vt " in text
