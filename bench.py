@@ -61,6 +61,49 @@ def bench_matching():
         print(f"[bench] pallas kernel skipped: {str(e)[:200]}", file=sys.stderr)
 
 
+def bench_scaling():
+    """Secondary: sharded-solver scaling over the visible devices (stderr).
+    Only meaningful with >1 chip; reports iters/s at 1 and N devices and the
+    scaling efficiency (BASELINE.md: >=70% at 4 hosts)."""
+    import sys
+    import jax
+    import jax.numpy as jnp
+    from multiview_tpu.calib import problem as prob
+    from multiview_tpu.parallel import sharding as sh
+    from multiview_tpu.solver import schur
+    from multiview_tpu.utils import synthetic as syn
+
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        return
+    scene = syn.make_cube_scene(n_images=64, n_per_face=10,
+                                dist_coeffs=(-0.1, 0.02, 1e-4, -1e-4),
+                                pix_noise=0.5, dtype=jnp.float32)
+    state0 = syn.perturb_state(scene.true_state)
+    cam_mask = prob.build_mask(state0, prob.FloatSpec(cam_poses=True),
+                               no_rig=True, include_points=False)
+    cam0 = prob.pack_state(state0, include_points=False)
+
+    rates = {}
+    for nd in (1, n_dev):
+        mesh = sh.make_mesh(jax.devices()[:nd])
+        obs = sh.shard_observations(scene.observations, mesh)
+        st = sh.replicate(state0, mesh)
+        solver = jax.jit(schur.make_schur_solver(
+            st, obs, scene.models, prob.BAOptions(no_rig=True), cam_mask,
+            max_iterations=8, cg_iterations=30, cg_tolerance=0.1))
+        r = solver(cam0, st.points)
+        jax.block_until_ready(r.cost)
+        t0 = time.perf_counter()
+        r = solver(cam0, st.points)
+        jax.block_until_ready(r.cost)
+        rates[nd] = int(r.iterations) / (time.perf_counter() - t0)
+    eff = rates[n_dev] / (rates[1] * n_dev)
+    print(f"[bench] scaling: {rates[1]:.1f} iters/s @1dev, "
+          f"{rates[n_dev]:.1f} @ {n_dev}dev, efficiency {eff:.2f}",
+          file=sys.stderr)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -69,6 +112,11 @@ def main():
     from multiview_tpu.utils import synthetic as syn
 
     bench_matching()
+    try:
+        bench_scaling()
+    except Exception as e:
+        import sys
+        print(f"[bench] scaling skipped: {str(e)[:200]}", file=sys.stderr)
 
     dtype = jnp.float32
 

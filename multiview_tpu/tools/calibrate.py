@@ -110,6 +110,14 @@ def run(args):
         verbose=True)
     print(f"Bracketing kept {len(cams)} camera entries")
 
+    # raw images shot above the calibrated resolution are area-downsampled
+    # to the calibrated dims (adjustImageSize, dense_map_utils.cc:1797)
+    from multiview_tpu.utils import images as img_utils
+    for c in cams:
+        if c.image is not None:
+            c.image = img_utils.adjust_image_size(
+                rig.sensors[c.camera_type].image_size, c.image)
+
     w2c_entries = np.stack([
         assemble.affine_to_pose(name_to_pose[c.image_name])
         if c.image_name in name_to_pose

@@ -35,6 +35,9 @@ def add_args(p: argparse.ArgumentParser):
     p.add_argument("--num_planes", type=int, default=64)
     p.add_argument("--voxel_size", type=float, default=0.05)
     p.add_argument("--grid_dim", type=int, default=128)
+    p.add_argument("--undistorted_crop_win", default="",
+                   help="'W H' central undistorted window to keep before "
+                        "stereo (multi_stereo --undistorted_crop_win)")
     p.add_argument("--max_distance_from_camera", type=float, default=0.0,
                    help="pc_filter distance gate; <=0 disables "
                         "(ASP --max-distance-from-camera)")
@@ -74,6 +77,11 @@ def run(args):
     selected = [s for s in range(len(sensor_names))
                 if not args.sensor or sensor_names[s] == args.sensor]
 
+    crop_win = None
+    if args.undistorted_crop_win:
+        vals = args.undistorted_crop_win.split()
+        crop_win = (int(vals[0]), int(vals[1]))
+
     # ---- step 0: stereo (raw per-pair clouds in left-camera coords) ----
     if first <= 0 <= last:
         image_data = common.scan_image_dir(args.images, sensor_names)
@@ -87,8 +95,10 @@ def run(args):
                     continue
                 # undistort both (the reference runs stereo on undistorted
                 # images, multi_stereo:164-173)
-                ua, K = und.undistort_image(ra.payload, cp)
-                ub, _ = und.undistort_image(rb.payload, cp)
+                ua, K = und.undistort_image(ra.payload, cp,
+                                            crop_window=crop_win)
+                ub, _ = und.undistort_image(rb.payload, cp,
+                                            crop_window=crop_win)
                 w2c_a = pose_mod.matrix_to_pose(jnp.asarray(name_to_pose[na]))
                 w2c_b = pose_mod.matrix_to_pose(jnp.asarray(name_to_pose[nb]))
                 r2n = pose_mod.pose_compose(w2c_b, pose_mod.pose_inverse(w2c_a))

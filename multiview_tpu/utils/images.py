@@ -5,6 +5,8 @@
 - exposure_correction / scale_image: ISO/exposure-time brightness
   normalization with gamma handling (`dense_map_utils.cc:591-628`)
 - pick_timestamps_in_bounds (`dense_map_utils.cc:630-668`)
+- adjust_image_size: raw -> calibrated dimensions by integer-factor area
+  downsampling (`dense_map_utils.cc:1404-1431`)
 """
 
 from __future__ import annotations
@@ -92,3 +94,27 @@ def pick_timestamps_in_bounds(timestamps: Sequence[float], left_bound: float,
     lo = min(inside, key=lambda t: abs(t + offset - left_bound))
     hi = min(inside, key=lambda t: abs(t + offset - right_bound))
     return [lo] if lo == hi else [lo, hi]
+
+
+def adjust_image_size(calib_size: Tuple[int, int], image: np.ndarray
+                      ) -> np.ndarray:
+    """Resize a raw image down to the calibrated dimensions
+    (``dense_map::adjustImageSize``, dense_map_utils.cc:1404-1431): the raw
+    size must be an integer multiple of the calibrated (W, H); the reduction
+    is area averaging (cv::INTER_AREA is exactly the block mean for integer
+    factors)."""
+    W, H = int(calib_size[0]), int(calib_size[1])
+    h, w = image.shape[:2]
+    factor = w // max(W, 1)
+    if w != W * factor or h != H * factor or factor < 1:
+        raise ValueError(
+            f"Image width and height are: {w} {h}\n"
+            f"Calibrated image width and height are: {W} {H}\n"
+            "These must be equal up to an integer factor.")
+    if factor == 1:
+        return image
+    trail = image.shape[2:]
+    out = image[:H * factor, :W * factor].reshape(
+        (H, factor, W, factor) + trail).mean(axis=(1, 3))
+    return out.astype(image.dtype) if np.issubdtype(image.dtype, np.integer) \
+        else out

@@ -96,3 +96,33 @@ class TestFov:
                          [5.0, 0.0, 1.0]])    # far off-axis: out
         out = np.asarray(cam.is_in_fov(X))
         assert out.tolist() == [True, False, False]
+
+
+class TestAdjustImageSize:
+    """adjustImageSize parity (dense_map_utils.cc:1404-1431)."""
+
+    def test_integer_factor_downsample(self):
+        from multiview_tpu.utils.images import adjust_image_size
+        img = np.arange(24, dtype=np.float32).reshape(4, 6)
+        out = adjust_image_size((3, 2), img)     # (W,H) = (3,2), factor 2
+        assert out.shape == (2, 3)
+        # block means of 2x2 tiles
+        np.testing.assert_allclose(out[0, 0], np.mean(img[:2, :2]))
+
+    def test_factor_one_passthrough(self):
+        from multiview_tpu.utils.images import adjust_image_size
+        img = np.zeros((10, 20))
+        assert adjust_image_size((20, 10), img) is img
+
+    def test_non_integer_factor_fatal(self):
+        from multiview_tpu.utils.images import adjust_image_size
+        import pytest
+        with pytest.raises(ValueError):
+            adjust_image_size((7, 3), np.zeros((9, 20)))
+
+    def test_color_image(self):
+        from multiview_tpu.utils.images import adjust_image_size
+        img = np.ones((4, 4, 3), np.uint8) * 7
+        out = adjust_image_size((2, 2), img)
+        assert out.shape == (2, 2, 3) and out.dtype == np.uint8
+        assert (out == 7).all()

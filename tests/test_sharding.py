@@ -119,3 +119,28 @@ class TestTsdfSharding:
         padded = sh.pad_tsdf_grid(grid, 8)
         assert padded.shape[0] == 16
         assert float(jnp.sum(padded.weight)) == 0.0
+
+
+class TestDistributed:
+    """Multi-host wiring (parallel/distributed.py) on the virtual mesh."""
+
+    def test_initialize_single_process_noop(self):
+        from multiview_tpu.parallel import distributed as dist
+        assert dist.initialize() is False       # single process
+        assert dist.initialize() is False       # idempotent
+
+    def test_global_mesh(self):
+        from multiview_tpu.parallel import distributed as dist
+        mesh = dist.global_mesh()
+        assert mesh.devices.size == 8
+        assert mesh.axis_names == (sh.OBS_AXIS,)
+
+    def test_host_chip_mesh(self):
+        from multiview_tpu.parallel import distributed as dist
+        mesh = dist.host_chip_mesh()
+        assert mesh.devices.shape == (1, 8)
+
+    def test_process_slice(self):
+        from multiview_tpu.parallel import distributed as dist
+        lo, hi = dist.process_slice(100)
+        assert (lo, hi) == (0, 100)
