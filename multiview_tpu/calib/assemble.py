@@ -30,13 +30,22 @@ def affine_to_pose(M: np.ndarray) -> np.ndarray:
 def build_state(rig: rc.RigConfig, cams: Sequence[CameraEntry],
                 world_to_cam: np.ndarray, ref_timestamps: np.ndarray,
                 world_to_ref: np.ndarray, num_points: int,
-                no_rig: bool = False, dtype=jnp.float64) -> prob.RigState:
+                no_rig: bool = False, affine_depth: bool = False,
+                dtype=jnp.float64) -> prob.RigState:
     """RigState from config + poses. In no-rig mode world_to_ref holds one
-    pose per entry (=world_to_cam)."""
+    pose per entry (=world_to_cam). The depth-to-image scale is always
+    separated as det^(1/3) (rig_calibrator.cc:1447-1457), in both the rigid
+    and the affine (--affine_depth_to_image) parametrization."""
     S = len(rig.sensors)
     rig_poses = np.stack([affine_to_pose(s.ref_to_sensor) for s in rig.sensors])
-    d2i = np.stack([affine_to_pose(_unit_scale(s.depth_to_image)[0])
-                    for s in rig.sensors])
+    if affine_depth:
+        d2i = np.stack([
+            np.concatenate([_unit_scale(s.depth_to_image)[0][:3, :3].reshape(9),
+                            np.asarray(s.depth_to_image, float)[:3, 3]])
+            for s in rig.sensors])
+    else:
+        d2i = np.stack([affine_to_pose(_unit_scale(s.depth_to_image)[0])
+                        for s in rig.sensors])
     d2i_scale = np.asarray([_unit_scale(s.depth_to_image)[1] for s in rig.sensors])
     return prob.RigState(
         world_to_ref=jnp.asarray(world_to_cam if no_rig else world_to_ref, dtype),
@@ -123,18 +132,23 @@ def build_depth_observations(rig: rc.RigConfig, cams: Sequence[CameraEntry],
     from multiview_tpu.utils.images import depth_value
 
     S = len(rig.sensors)
-    rows = {s: dict(xyz=[], beg=[], end=[], pid=[], dtc=[], dtb=[])
+    rows = {s: dict(xyz=[], beg=[], end=[], pid=[], dtc=[], dtb=[], prow=[])
             for s in range(S)}
+    # pixel-row counters replicate build_observations' per-sensor ordering so
+    # each depth row knows its pixel observation (for mesh-intersection lookup)
+    pix_counters = [0] * S
     for pid, track in enumerate(trackset.tracks):
         for cid, fid in track.items():
             cam = cams[cid]
+            s = cam.camera_type
+            my_pix_row = pix_counters[s]
+            pix_counters[s] += 1
             if cam.depth_cloud is None:
                 continue
             xyz = depth_value(np.asarray(cam.depth_cloud),
                               trackset.keypoints[cid][fid])
             if xyz is None:
                 continue
-            s = cam.camera_type
             if no_rig:
                 beg = end = cid
                 dtc = dtb = 0.0
@@ -149,12 +163,23 @@ def build_depth_observations(rig: rc.RigConfig, cams: Sequence[CameraEntry],
             r["pid"].append(pid)
             r["dtc"].append(dtc)
             r["dtb"].append(dtb)
+            r["prow"].append(my_pix_row)
+
+    # per-sensor pixel-row -> global row offsets (pixel obs only exist for
+    # sensors with pixels; same skip rule as build_observations)
+    offsets = {}
+    acc = 0
+    for s in range(S):
+        if pix_counters[s] > 0:
+            offsets[s] = acc
+            acc += pix_counters[s]
 
     out = []
     for s in range(S):
         r = rows[s]
         if not r["xyz"]:
             continue
+        n = len(r["xyz"])
         out.append(prob.DepthObs(
             depth_xyz=jnp.asarray(np.stack(r["xyz"]), dtype),
             beg_idx=jnp.asarray(np.asarray(r["beg"], np.int32)),
@@ -162,8 +187,10 @@ def build_depth_observations(rig: rc.RigConfig, cams: Sequence[CameraEntry],
             point_idx=jnp.asarray(np.asarray(r["pid"], np.int32)),
             dt_cam=jnp.asarray(np.asarray(r["dtc"]), dtype),
             dt_bracket=jnp.asarray(np.asarray(r["dtb"]), dtype),
-            mask=jnp.ones(len(r["xyz"]), bool),
-            mesh_xyz=None, sensor=s))
+            mask=jnp.ones(n, bool),
+            mesh_xyz=None,
+            pix_row=jnp.asarray(np.asarray(r["prow"], np.int32) + offsets[s]),
+            sensor=s))
     return tuple(out)
 
 

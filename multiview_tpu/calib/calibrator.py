@@ -341,9 +341,18 @@ def optimize_rig(
         backend = "schur"
 
     table = build_track_table(observations, state.points.shape[0])
-    mask_vec = prob.build_mask(state, float_spec, no_rig=opts.no_rig)
+    entry_sensors = None
+    if opts.no_rig and float_spec.cam_pose_sensors is not None:
+        # in no-rig mode world_to_ref entries are per-image; recover each
+        # entry's sensor type from the observation index arrays
+        entry_sensors = np.zeros(state.world_to_ref.shape[0], np.int32)
+        for ob in observations.pixels:
+            entry_sensors[np.asarray(ob.beg_idx)] = ob.sensor
+    mask_vec = prob.build_mask(state, float_spec, no_rig=opts.no_rig,
+                               entry_sensors=entry_sensors)
     cam_mask_vec = prob.build_mask(state, float_spec, no_rig=opts.no_rig,
-                                   include_points=False)
+                                   include_points=False,
+                                   entry_sensors=entry_sensors)
     schur_solver = None
 
     lower = upper = None
@@ -395,13 +404,39 @@ def optimize_rig(
                 ref_xyz=xyz, point_idx=jnp.arange(xyz.shape[0]),
                 mask=jnp.asarray(np.asarray(ok)))
             obs_now = dataclasses.replace(obs_now, tri_prior=tri_prior)
-        if mesh_tri_verts is not None and opts.mesh_tri_weight > 0.0:
+        want_mesh_tri = mesh_tri_verts is not None and opts.mesh_tri_weight > 0.0
+        want_depth_mesh = (mesh_tri_verts is not None
+                           and opts.depth_mesh_weight > 0.0
+                           and len(observations.depths) > 0
+                           and all(d.pix_row is not None
+                                   for d in observations.depths))
+        if want_mesh_tri or want_depth_mesh:
             # per-pass ray/mesh intersections (meshTriangulations role)
             from multiview_tpu.calib import mesh_constraints
-            mesh_prior = mesh_constraints.build_mesh_prior(
+            obs_xyz, track_xyz = mesh_constraints.mesh_intersections(
                 state, observations, models, mesh_tri_verts,
                 min_ray_dist=min_ray_dist, max_ray_dist=max_ray_dist)
-            obs_now = dataclasses.replace(obs_now, mesh_tri=mesh_prior)
+            if want_mesh_tri:
+                valid = np.isfinite(track_xyz).all(axis=-1)
+                mesh_prior = prob.XyzPriorObs(
+                    ref_xyz=jnp.asarray(np.where(valid[:, None], track_xyz, 0.0),
+                                        state.dtype),
+                    point_idx=jnp.arange(state.points.shape[0]),
+                    mask=jnp.asarray(valid))
+                obs_now = dataclasses.replace(obs_now, mesh_tri=mesh_prior)
+            if want_depth_mesh:
+                # BracketedDepthMeshError: the pixel ray's mesh hit vs. the
+                # depth measurement (rig_calibrator.cc:1797-1843)
+                new_depths = []
+                for dob in obs_now.depths:
+                    hit_xyz = obs_xyz[np.asarray(dob.pix_row)]
+                    hit = np.isfinite(hit_xyz).all(axis=-1)
+                    new_depths.append(dataclasses.replace(
+                        dob,
+                        mesh_xyz=jnp.asarray(np.where(hit[:, None], hit_xyz, 0.0),
+                                             state.dtype),
+                        mesh_mask=jnp.asarray(hit)))
+                obs_now = dataclasses.replace(obs_now, depths=tuple(new_depths))
 
         template = state
 

@@ -129,6 +129,13 @@ class DepthObs:
     dt_bracket: jnp.ndarray
     mask: jnp.ndarray
     mesh_xyz: Optional[jnp.ndarray] = None  # [N,3] for the mesh variant
+    # mesh variant only fires where the pixel ray actually hit the mesh
+    # (reference: have_depth_mesh_constraint requires mesh_xyz != bad_xyz,
+    # rig_calibrator.cc:1800-1805)
+    mesh_mask: Optional[jnp.ndarray] = None  # [N] bool
+    # row of the matching pixel observation in the global concatenated pixel
+    # ordering (host-side bookkeeping to look up per-obs mesh intersections)
+    pix_row: Optional[jnp.ndarray] = None    # [N] int32
 
     sensor: int = dataclasses.field(metadata=dict(static=True), default=0)
 
@@ -265,10 +272,16 @@ def depth_mesh_residuals(state: RigState, obs: DepthObs, opts: BAOptions,
     w2c = _world_to_cam_for(state, s, obs.beg_idx, obs.end_idx, obs.dt_cam, obs.dt_bracket)
     M_cam = _depth_to_cam_points(state, obs, opts)
     M_world = pose_mod.pose_apply(pose_mod.pose_inverse(w2c), M_cam)
-    res = opts.depth_mesh_weight * (obs.mesh_xyz - M_world)
+    mask = obs.mask
+    mesh_xyz = obs.mesh_xyz
+    if obs.mesh_mask is not None:
+        mask = mask & obs.mesh_mask
+        # NaN misses must not reach the residual even masked (0*NaN = NaN)
+        mesh_xyz = jnp.where(obs.mesh_mask[:, None], mesh_xyz, 0.0)
+    res = opts.depth_mesh_weight * (mesh_xyz - M_world)
     if not robust:
-        return res * obs.mask.astype(res.dtype)[..., None]
-    return _robustify(res, obs.mask, opts.robust_threshold)
+        return res * mask.astype(res.dtype)[..., None]
+    return _robustify(res, mask, opts.robust_threshold)
 
 
 def xyz_prior_residuals(state: RigState, obs: XyzPriorObs, weight: float,
@@ -320,13 +333,17 @@ class FloatSpec:
     (rig_calibrator.cc:150-180, 1702-1752). Points are always free."""
 
     cam_poses: bool = False             # camera_poses_to_float (ref sensor / no-rig poses)
-    rig_transforms: bool = False        # rig_transforms_to_float (non-ref sensors)
+    rig_transforms: object = False      # bool (all non-ref) or sensor-index list
     focal: Sequence[int] = ()           # sensors whose focal_length floats
     optical_center: Sequence[int] = ()
     distortion: Sequence[int] = ()
     timestamp_offsets: bool = False     # FLAGS_float_timestamp_offsets
     depth_to_image: Sequence[int] = ()  # depth_to_image_transforms_to_float
     depth_scale: bool = False           # FLAGS_float_scale
+    # No-rig mode only: sensor types whose per-image poses float (the
+    # reference checks each cam's own sensor name, rig_calibrator.cc:1725).
+    # Requires entry_sensors in build_mask; overrides cam_poses when set.
+    cam_pose_sensors: Optional[Sequence[int]] = None
 
 
 def pack_state(state: RigState, include_points: bool = True) -> jnp.ndarray:
@@ -364,13 +381,25 @@ def unpack_state(vec: jnp.ndarray, template: RigState,
 
 
 def build_mask(state: RigState, spec: FloatSpec, ref_sensor: int = 0,
-               no_rig: bool = False, include_points: bool = True) -> np.ndarray:
-    """Boolean free-parameter mask aligned with pack_state order."""
+               no_rig: bool = False, include_points: bool = True,
+               entry_sensors: Optional[np.ndarray] = None) -> np.ndarray:
+    """Boolean free-parameter mask aligned with pack_state order.
+
+    ``entry_sensors`` (no-rig mode): [R] sensor type of each world_to_ref
+    entry; with spec.cam_pose_sensors it gives per-sensor pose floating.
+    """
     S = state.num_sensors
-    m_poses = np.full(state.world_to_ref.shape, spec.cam_poses)
+    if no_rig and spec.cam_pose_sensors is not None and entry_sensors is not None:
+        per_entry = np.isin(np.asarray(entry_sensors), list(spec.cam_pose_sensors))
+        m_poses = np.repeat(per_entry[:, None], state.world_to_ref.shape[1], axis=1)
+    else:
+        m_poses = np.full(state.world_to_ref.shape, spec.cam_poses)
     m_rig = np.zeros(state.ref_to_cam.shape, bool)
-    if spec.rig_transforms and not no_rig:
-        m_rig[:] = True
+    if not no_rig:
+        if spec.rig_transforms is True:
+            m_rig[:] = True
+        elif spec.rig_transforms:  # sensor-index list
+            m_rig[list(spec.rig_transforms)] = True
         m_rig[ref_sensor] = False  # ref stays identity (rig_calibrator.cc:1748-1752)
     m_off = np.zeros(S, bool)
     if spec.timestamp_offsets and not no_rig:

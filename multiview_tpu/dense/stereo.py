@@ -55,10 +55,49 @@ def _bilinear_gray(img, x, y):
     return v, inb
 
 
-@functools.partial(jax.jit, static_argnames=("num_planes", "radius"))
+def _sgm_dir_scan(cost_xyd, p1, p2):
+    """One-directional SGM aggregation along axis 0 of [X, Y, D]
+    (a lax.scan whose carry is the whole previous line [Y, D] — every
+    per-pixel recurrence of a scanline runs in parallel on the VPU)."""
+
+    def step(L_prev, C):
+        m = jnp.min(L_prev, axis=-1, keepdims=True)
+        lm1 = jnp.concatenate([L_prev[:, :1], L_prev[:, :-1]], axis=1) + p1
+        lp1 = jnp.concatenate([L_prev[:, 1:], L_prev[:, -1:]], axis=1) + p1
+        L = C + jnp.minimum(jnp.minimum(L_prev, m + p2),
+                            jnp.minimum(lm1, lp1)) - m
+        return L, L
+
+    L0 = cost_xyd[0]
+    _, Ls = jax.lax.scan(step, L0, cost_xyd[1:])
+    return jnp.concatenate([L0[None], Ls], axis=0)
+
+
+def sgm_aggregate(cost_hwd, p1: float = 0.03, p2: float = 0.3):
+    """4-path semi-global matching aggregation of a [H,W,D] matching-cost
+    volume (lower = better).
+
+    The reference's dense-stereo engine (ASP ``parallel_stereo``,
+    `/root/reference/rig_calibrator/bin/multi_stereo:184-189`) offers SGM
+    cost aggregation on top of raw correlation; this is the TPU equivalent:
+    Hirschmuller's L_r recurrence over the left/right/up/down paths, each
+    path one ``lax.scan`` whose carry is an entire scanline so the recurrence
+    is sequential only in the scan direction.
+    """
+    down = _sgm_dir_scan(cost_hwd, p1, p2)
+    up = _sgm_dir_scan(cost_hwd[::-1], p1, p2)[::-1]
+    cwd = jnp.swapaxes(cost_hwd, 0, 1)                 # [W,H,D]
+    right = jnp.swapaxes(_sgm_dir_scan(cwd, p1, p2), 0, 1)
+    left = jnp.swapaxes(_sgm_dir_scan(cwd[::-1], p1, p2)[::-1], 0, 1)
+    return down + up + right + left
+
+
+@functools.partial(jax.jit, static_argnames=("num_planes", "radius", "aggregate"))
 def plane_sweep(ref_img, nbr_img, focal, center, ref_to_nbr_pose,
                 min_depth: float, max_depth: float, num_planes: int = 64,
-                radius: int = 3, min_confidence: float = 0.3):
+                radius: int = 3, min_confidence: float = 0.3,
+                aggregate: str = "none", sgm_p1: float = 0.03,
+                sgm_p2: float = 0.3):
     """Depth of the reference view by plane sweep against one neighbor.
 
     ref_img/nbr_img: [H,W] grayscale float. focal [2], center [2] shared
@@ -102,17 +141,25 @@ def plane_sweep(ref_img, nbr_img, focal, center, ref_to_nbr_pose,
         zncc = cov / jnp.sqrt(jnp.maximum(ref_var * w_var, 1e-16))
         return jnp.where(inb, zncc, -1.0)
 
-    costs = jax.lax.map(cost_of_plane, inv_depths)     # [D,H,W]
+    costs = jax.lax.map(cost_of_plane, inv_depths)     # [D,H,W] zncc (higher better)
 
-    best = jnp.argmax(costs, axis=0)                   # [H,W]
-    best_cost = jnp.max(costs, axis=0)
+    if aggregate == "sgm":
+        # aggregate 1-zncc (lower better), pick by the aggregated cost
+        agg = sgm_aggregate(jnp.transpose(1.0 - costs, (1, 2, 0)),
+                            sgm_p1, sgm_p2)            # [H,W,D]
+        scores = jnp.transpose(-agg, (2, 0, 1))        # [D,H,W] higher better
+    else:
+        scores = costs
 
-    # parabolic refinement over inverse depth
+    best = jnp.argmax(scores, axis=0)                  # [H,W]
+    best_cost = jnp.take_along_axis(costs, best[None], axis=0)[0]  # raw zncc
+
+    # parabolic refinement over inverse depth (on the selection scores)
     d0 = jnp.clip(best - 1, 0, num_planes - 1)
     d2 = jnp.clip(best + 1, 0, num_planes - 1)
-    c0 = jnp.take_along_axis(costs, d0[None], axis=0)[0]
-    c1 = best_cost
-    c2 = jnp.take_along_axis(costs, d2[None], axis=0)[0]
+    c0 = jnp.take_along_axis(scores, d0[None], axis=0)[0]
+    c1 = jnp.take_along_axis(scores, best[None], axis=0)[0]
+    c2 = jnp.take_along_axis(scores, d2[None], axis=0)[0]
     denom = c0 - 2 * c1 + c2
     delta = jnp.where(jnp.abs(denom) > 1e-9, 0.5 * (c0 - c2) / denom, 0.0)
     delta = jnp.clip(delta, -0.5, 0.5)

@@ -69,25 +69,26 @@ def match_pair(kp_i, d_i, kp_j, d_j, cfg: FrontendConfig, seed: int = 0):
 def cam_guided_filter(xy_i, xy_j, cam_i, cam_j, w2c_i, w2c_j,
                       max_reproj_px: float):
     """Reject matches whose two-view triangulation reprojects badly
-    (matchFeaturesWithCams, interest_point.cc:181-301)."""
+    (matchFeaturesWithCams, interest_point.cc:181-301). Fully batched:
+    all K matches of a pair triangulate in one vmapped kernel."""
+    import jax
     from multiview_tpu.geometry.camera import DISTORTED, UNDISTORTED_C
     if len(xy_i) == 0:
         return xy_i, xy_j
-    ui = np.asarray(cam_i.convert(jnp.asarray(xy_i), DISTORTED, UNDISTORTED_C))
-    uj = np.asarray(cam_j.convert(jnp.asarray(xy_j), DISTORTED, UNDISTORTED_C))
-    keep = np.zeros(len(xy_i), bool)
+    ui = cam_i.convert(jnp.asarray(xy_i), DISTORTED, UNDISTORTED_C)
+    uj = cam_j.convert(jnp.asarray(xy_j), DISTORTED, UNDISTORTED_C)
     fi, fj = float(cam_i.mean_focal), float(cam_j.mean_focal)
     Pi = tri_mod.projection_matrix(jnp.asarray([fi, fj]),
                                    jnp.stack([jnp.asarray(w2c_i), jnp.asarray(w2c_j)]))
-    for k in range(len(xy_i)):
-        pix = jnp.asarray(np.stack([ui[k], uj[k]]))
-        X, _, ok = tri_mod.triangulate_track(Pi, pix, jnp.ones(2, bool))
-        # reproject
-        for (cam, w2c, meas) in ((cam_i, w2c_i, xy_i[k]), (cam_j, w2c_j, xy_j[k])):
-            Xc = pose_mod.pose_apply(jnp.asarray(w2c), X)
-            pred = np.asarray(cam.project_cam_to_dist_pix(Xc))
-            ok = ok & (np.linalg.norm(pred - meas) <= max_reproj_px)
-        keep[k] = bool(ok)
+    pix = jnp.stack([ui, uj], axis=1)                       # [K,2,2]
+    X, _, ok = jax.vmap(
+        lambda p: tri_mod.triangulate_track(Pi, p, jnp.ones(2, bool)))(pix)
+    for (cam, w2c, meas) in ((cam_i, w2c_i, xy_i), (cam_j, w2c_j, xy_j)):
+        Xc = pose_mod.pose_apply(jnp.asarray(w2c), X)       # [K,3]
+        pred = cam.project_cam_to_dist_pix(Xc)
+        ok = ok & (jnp.linalg.norm(pred - jnp.asarray(meas), axis=-1)
+                   <= max_reproj_px)
+    keep = np.asarray(ok)
     return xy_i[keep], xy_j[keep]
 
 

@@ -174,6 +174,10 @@ def _depth_row_blocks(state: prob.RigState, obs: prob.DepthObs, opts: prob.BAOpt
     affine = opts.affine_depth_to_image
     use_point = not mesh_variant
     mesh_xyz = obs.mesh_xyz if obs.mesh_xyz is not None else jnp.zeros_like(obs.depth_xyz)
+    row_mask = obs.mask
+    if mesh_variant and obs.mesh_mask is not None:
+        row_mask = row_mask & obs.mesh_mask
+        mesh_xyz = jnp.where(obs.mesh_mask[:, None], mesh_xyz, 0.0)
 
     def row(beg_pose, end_pose, rig, offset, d2i, dscale, point,
             depth_xyz, target_xyz, dt_cam, dt_bracket, mask):
@@ -191,7 +195,7 @@ def _depth_row_blocks(state: prob.RigState, obs: prob.DepthObs, opts: prob.BAOpt
             axis=-1)
         return j_cam, jac[6]
 
-    mask_f = obs.mask.astype(state.dtype)
+    mask_f = row_mask.astype(state.dtype)
     return jax.vmap(row, in_axes=(0, 0, None, None, None, None, 0, 0, 0, 0, 0, 0))(
         state.world_to_ref[obs.beg_idx], state.world_to_ref[obs.end_idx],
         state.ref_to_cam[s], state.timestamp_offsets[s],

@@ -27,15 +27,33 @@ def add_args(p: argparse.ArgumentParser):
     p.add_argument("--bracket_len", type=float, default=0.6)
     p.add_argument("--timestamp_offsets_max_change", type=float, default=1.0)
     p.add_argument("--intrinsics_to_float", default="",
-                   help="e.g. 'focal_length optical_center distortion'")
-    p.add_argument("--camera_poses_to_float", action="store_true")
-    p.add_argument("--rig_transforms_to_float", action="store_true")
+                   help="per-sensor spec, e.g. 'cam1:focal_length,"
+                        "optical_center,distortion cam2:focal_length'; bare "
+                        "intrinsic names apply to all sensors")
+    p.add_argument("--camera_poses_to_float", nargs="?", const="__all__",
+                   default="",
+                   help="sensor names whose camera poses float, e.g. "
+                        "'cam1 cam3' (rig_calibrator.cc:158-163); with no "
+                        "value, all sensors")
+    p.add_argument("--rig_transforms_to_float", nargs="?", const="__all__",
+                   default="",
+                   help="sensor names whose ref-to-sensor transforms float "
+                        "(rig_calibrator.cc:153-156); with no value, all "
+                        "non-ref sensors")
     p.add_argument("--float_timestamp_offsets", action="store_true")
     p.add_argument("--float_scale", action="store_true")
-    p.add_argument("--depth_to_image_transforms_to_float", action="store_true")
+    p.add_argument("--depth_to_image_transforms_to_float", nargs="?",
+                   const="__all__", default="",
+                   help="sensor names whose depth-to-image transforms float")
+    p.add_argument("--affine_depth_to_image", action="store_true",
+                   help="model depth-to-image as a full affine instead of "
+                        "rigid+scale (rig_calibrator.cc:208-210)")
     p.add_argument("--depth_tri_weight", type=float, default=0.0)
     p.add_argument("--mesh", help="PLY mesh for mesh-based constraints")
     p.add_argument("--mesh_tri_weight", type=float, default=0.0)
+    p.add_argument("--depth_mesh_weight", type=float, default=0.0,
+                   help="weight of the depth-vs-mesh constraint "
+                        "(BracketedDepthMeshError, rig_calibrator.cc:195-197)")
     p.add_argument("--out_texture_dir", default="",
                    help="project the mesh into every optimized camera and "
                         "write per-camera textured OBJs there "
@@ -46,8 +64,22 @@ def add_args(p: argparse.ArgumentParser):
     p.add_argument("--tri_robust_threshold", type=float, default=0.1)
     p.add_argument("--min_triangulation_angle", type=float, default=0.5)
     p.add_argument("--max_reprojection_error", type=float, default=25.0)
-    p.add_argument("--num_overlaps", type=int, default=2)
+    p.add_argument("--initial_max_reprojection_error", type=float, default=300.0,
+                   help="reprojection gate applied when first creating "
+                        "matches (rig_calibrator.cc:217-220)")
+    p.add_argument("--parameter_tolerance", type=float, default=1e-12)
+    p.add_argument("--num_overlaps", type=int, default=0,
+                   help="match each image against this many subsequent "
+                        "images; 0 = take matches from the NVM only "
+                        "(rig_calibrator.cc:287-291)")
+    p.add_argument("--no_nvm_matches", action="store_true",
+                   help="ignore the matches stored in the --nvm file")
     p.add_argument("--max_features", type=int, default=1000)
+    p.add_argument("--num_opt_threads", type=int, default=16,
+                   help="accepted for reference parity; XLA manages its own "
+                        "threading")
+    p.add_argument("--num_match_threads", type=int, default=8,
+                   help="accepted for reference parity")
     p.add_argument("--use_initial_rig_transforms", action="store_true")
     p.add_argument("--registration", action="store_true")
     p.add_argument("--hugin_file")
@@ -55,7 +87,54 @@ def add_args(p: argparse.ArgumentParser):
     p.add_argument("--save_nvm", action="store_true")
     p.add_argument("--save_matches", action="store_true",
                    help="export inlier matches as ASP .match files")
+    p.add_argument("--export_to_voxblox", action="store_true",
+                   help="write per-sensor voxblox PCD clouds + cam2world + "
+                        "index.txt (exportToVoxblox)")
+    p.add_argument("--save_transformed_depth_clouds", action="store_true",
+                   help="write each depth cloud as a world-frame PLY")
     p.add_argument("--verbose", action="store_true")
+
+
+def _parse_camera_names(spec_str: str, sensor_names) -> set:
+    """'cam1 cam3' / 'cam1,cam3' -> set of sensor indices
+    (parse_camera_names, dense_map_utils.cc:102-132). '__all__' (our bare-flag
+    compatibility value) selects every sensor."""
+    import re
+    if spec_str == "__all__":
+        return set(range(len(sensor_names)))
+    out = set()
+    for tok in re.split(r"[\\:,\s]+", spec_str.strip()):
+        if not tok:
+            continue
+        if tok not in sensor_names:
+            raise SystemExit(f"Sensor name not among the known sensors: {tok}")
+        out.add(sensor_names.index(tok))
+    return out
+
+
+def _parse_intrinsics_to_float(spec_str: str, sensor_names):
+    """'cam1:focal_length,optical_center cam2:focal_length' -> per-sensor sets
+    (parse_intrinsics_to_float, dense_map_utils.cc:54-98). Extension: bare
+    intrinsic names with no preceding sensor apply to all sensors."""
+    import re
+    per = [set() for _ in sensor_names]
+    cur = None
+    kinds = ("focal_length", "optical_center", "distortion")
+    for tok in re.split(r"[\\:,\s]+", spec_str.strip()):
+        if not tok:
+            continue
+        if tok in sensor_names:
+            cur = sensor_names.index(tok)
+            continue
+        if tok not in kinds:
+            raise SystemExit(f"Unexpected value when parsing intrinsics to "
+                             f"float: {tok}")
+        if cur is None:
+            for s in per:
+                s.add(tok)
+        else:
+            per[cur].add(tok)
+    return per
 
 
 def run(args):
@@ -74,10 +153,10 @@ def run(args):
     print(f"Read rig with sensors: {sensor_names}")
 
     # ---- initial poses ----
+    nvm = nvm_io.read_nvm(args.nvm) if args.nvm else None
     if args.camera_poses:
         pose_names, pose_mats = nvm_io.read_camera_poses(args.camera_poses)
-    elif args.nvm:
-        nvm = nvm_io.read_nvm(args.nvm)
+    elif nvm is not None:
         pose_names, pose_mats = nvm.cid_to_filename, nvm.world_to_cam
     else:
         raise SystemExit("Provide --camera_poses or --nvm")
@@ -136,46 +215,38 @@ def run(args):
                 pose_mod.pose_to_matrix(jnp.asarray(rig_poses[s])))
 
     # ---- tracks ----
-    if args.images:
+    # parameterValidation parity (rig_calibrator.cc:900-902)
+    if args.num_overlaps < 1 and (not args.nvm or args.no_nvm_matches):
+        raise SystemExit("No matches: specify --nvm (without --no_nvm_matches)"
+                         " or a positive --num_overlaps")
+
+    trackset = None
+    if args.num_overlaps > 0:
+        if not args.images:
+            raise SystemExit("--num_overlaps > 0 needs --images")
         images = [c.image for c in cams]
-        cfg = fe.FrontendConfig(max_features=args.max_features,
-                                num_overlaps=args.num_overlaps)
-        trackset = fe.detect_match_features(images, cfg)
-    elif args.nvm:
-        # tracks straight from the NVM (appendMatchesFromNvm role)
-        nvm_cid_of = {}
-        for cid_entry, c in enumerate(cams):
-            for ncid, n in enumerate(pose_names):
-                if n == c.image_name or Path(n).name == Path(c.image_name).name:
-                    nvm_cid_of[ncid] = cid_entry
-        kps = []
-        for cid_entry, c in enumerate(cams):
-            kps.append(np.zeros((0, 2)))
-        tracks = []
-        # keypoints in NVM are optical-center-offset; undo per sensor
-        kp_lists = [dict() for _ in cams]
-        for cid_fid in nvm.pid_to_cid_fid:
-            tr = {}
-            for ncid, fid in cid_fid.items():
-                if ncid not in nvm_cid_of:
-                    continue
-                e = nvm_cid_of[ncid]
-                kp = nvm.cid_to_keypoint[ncid][fid] + np.asarray(
-                    rig.sensors[cams[e].camera_type].optical_center)
-                kp_lists[e][len(kp_lists[e])] = kp
-                tr[e] = len(kp_lists[e]) - 1
-            if len(tr) >= 2:
-                tracks.append(tr)
-        kps = [np.stack([d[i] for i in range(len(d))]) if d else np.zeros((0, 2))
-               for d in kp_lists]
-        trackset = TrackSet(kps, tracks)
-    else:
-        raise SystemExit("Provide --images for matching or --nvm with matches")
+        cfg = fe.FrontendConfig(
+            max_features=args.max_features, num_overlaps=args.num_overlaps,
+            cam_filter_reproj_px=args.initial_max_reprojection_error)
+        trackset = fe.detect_match_features(
+            images, cfg, cam_params=cam_params, world_to_cam=w2c_entries,
+            cams_of_image=[c.camera_type for c in cams])
+
+    if args.nvm and not args.no_nvm_matches:
+        # matches from the NVM, appended to any detected ones
+        # (appendMatchesFromNvm, interest_point.cc:1790-1847)
+        nvm_trackset = _tracks_from_nvm(nvm, cams, rig)
+        trackset = nvm_trackset if trackset is None \
+            else _merge_tracksets(trackset, nvm_trackset)
     print(f"Built {len(trackset.tracks)} tracks")
+
+    if args.float_scale and args.affine_depth_to_image:
+        raise SystemExit("The options --float_scale and --affine_depth_to_image"
+                         " should not be used together (rig_calibrator.cc:928)")
 
     observations, num_points = assemble.build_observations(
         rig, cams, ref_stamps, trackset, no_rig=args.no_rig)
-    if args.depth_tri_weight > 0.0:
+    if args.depth_tri_weight > 0.0 or args.depth_mesh_weight > 0.0:
         import dataclasses as _dc
         depth_obs = assemble.build_depth_observations(
             rig, cams, ref_stamps, trackset, no_rig=args.no_rig)
@@ -183,23 +254,39 @@ def run(args):
             observations = _dc.replace(observations, depths=depth_obs)
             print(f"Attached {sum(len(o) for o in depth_obs)} depth measurements")
     state = assemble.build_state(rig, cams, w2c_entries, ref_stamps,
-                                 world_to_ref, num_points, no_rig=args.no_rig)
+                                 world_to_ref, num_points, no_rig=args.no_rig,
+                                 affine_depth=args.affine_depth_to_image)
 
-    intr = set(args.intrinsics_to_float.split())
-    all_s = tuple(range(len(sensor_names)))
+    intr = _parse_intrinsics_to_float(args.intrinsics_to_float, sensor_names)
+    cp_set = _parse_camera_names(args.camera_poses_to_float, sensor_names)
+    rig_set = _parse_camera_names(args.rig_transforms_to_float, sensor_names)
+    d2i_set = _parse_camera_names(args.depth_to_image_transforms_to_float,
+                                  sensor_names)
+    if args.rig_transforms_to_float != "__all__" and 0 in rig_set:
+        raise SystemExit("Cannot float the rig transform from the reference "
+                         "sensor to itself (dense_map_utils.cc:150-157)")
     spec = prob.FloatSpec(
-        cam_poses=args.camera_poses_to_float,
-        rig_transforms=args.rig_transforms_to_float,
-        focal=all_s if "focal_length" in intr else (),
-        optical_center=all_s if "optical_center" in intr else (),
-        distortion=all_s if "distortion" in intr else (),
+        # rig mode: all ref keyframe poses float iff the ref sensor is named
+        # (rig_calibrator.cc:1719); no-rig: per-sensor (see cam_pose_sensors)
+        cam_poses=(0 in cp_set),
+        cam_pose_sensors=tuple(sorted(cp_set)) if args.no_rig else None,
+        rig_transforms=tuple(sorted(rig_set - {0})),
+        focal=tuple(s for s in range(len(sensor_names))
+                    if "focal_length" in intr[s]),
+        optical_center=tuple(s for s in range(len(sensor_names))
+                             if "optical_center" in intr[s]),
+        distortion=tuple(s for s in range(len(sensor_names))
+                         if "distortion" in intr[s] and len(rig.sensors[s].distortion)),
         timestamp_offsets=args.float_timestamp_offsets,
-        depth_to_image=all_s if args.depth_to_image_transforms_to_float else (),
-        depth_scale=args.float_scale)
+        depth_to_image=tuple(sorted(d2i_set)),
+        # affine mode keeps the separated scale fixed (rig_calibrator.cc:1787)
+        depth_scale=args.float_scale and not args.affine_depth_to_image)
     opts = prob.BAOptions(
         robust_threshold=args.robust_threshold, no_rig=args.no_rig,
         depth_tri_weight=args.depth_tri_weight, tri_weight=args.tri_weight,
         mesh_tri_weight=args.mesh_tri_weight,
+        depth_mesh_weight=args.depth_mesh_weight,
+        affine_depth_to_image=args.affine_depth_to_image,
         tri_robust_threshold=args.tri_robust_threshold)
 
     mesh_tri_verts = None
@@ -220,6 +307,7 @@ def run(args):
         min_triangulation_angle=args.min_triangulation_angle,
         max_reprojection_error=args.max_reprojection_error,
         timestamp_offset_bounds=bounds,
+        parameter_tolerance=args.parameter_tolerance,
         mesh_tri_verts=mesh_tri_verts,
         min_ray_dist=args.min_ray_dist, max_ray_dist=args.max_ray_dist,
         sensor_names=sensor_names, verbose=True)
@@ -254,7 +342,12 @@ def run(args):
         sensor.distortion = np.asarray(state.dist[s])
         sensor.ref_to_sensor = np.asarray(
             pose_mod.pose_to_matrix(state.ref_to_cam[s]))
-        d2i = np.array(pose_mod.pose_to_matrix(state.depth_to_image[s]))
+        if args.affine_depth_to_image:
+            d2i = np.eye(4)
+            d2i[:3, :3] = np.asarray(state.depth_to_image[s][:9]).reshape(3, 3)
+            d2i[:3, 3] = np.asarray(state.depth_to_image[s][9:12])
+        else:
+            d2i = np.array(pose_mod.pose_to_matrix(state.depth_to_image[s]))
         d2i[:3, :3] *= float(state.depth_scale[s])
         sensor.depth_to_image = d2i
         sensor.timestamp_offset = float(state.timestamp_offsets[s])
@@ -296,7 +389,73 @@ def run(args):
             out / "matches", [c.image_name for c in cams], args.num_overlaps,
             trackset, inlier)
         print(f"Wrote {len(written)} match files to {out/'matches'}")
+
+    if args.export_to_voxblox or args.save_transformed_depth_clouds:
+        from multiview_tpu.io import depth_io
+        d2i_mats = np.stack([np.asarray(s.depth_to_image) for s in rig.sensors])
+        entries = []
+        for c in cams:
+            inten = None
+            if c.image is not None:
+                inten = np.asarray(c.image)
+                if inten.ndim == 3:
+                    inten = inten.mean(axis=-1)
+            entries.append((c.camera_type, c.timestamp, c.depth_cloud, inten))
+        if args.export_to_voxblox:
+            depth_io.export_to_voxblox(out, sensor_names, entries, d2i_mats, mats)
+            print(f"Exported voxblox clouds to {out/'voxblox'}")
+        if args.save_transformed_depth_clouds:
+            written = depth_io.save_transformed_depth_clouds(
+                out / "transformed_depth_clouds", entries, d2i_mats, mats)
+            print(f"Wrote {len(written)} transformed depth clouds")
     return 0
+
+
+def _tracks_from_nvm(nvm, cams, rig):
+    """NVM matches -> TrackSet over the bracketed camera entries
+    (appendMatchesFromNvm role, interest_point.cc:1790-1847). NVM keypoints
+    are optical-center-offset; the offset is added back per sensor."""
+    from pathlib import Path
+    import numpy as np
+    from multiview_tpu.sfm.tracks import TrackSet
+
+    nvm_cid_of = {}
+    for cid_entry, c in enumerate(cams):
+        for ncid, n in enumerate(nvm.cid_to_filename):
+            if n == c.image_name or Path(n).name == Path(c.image_name).name:
+                nvm_cid_of[ncid] = cid_entry
+    tracks = []
+    kp_lists = [dict() for _ in cams]
+    for cid_fid in nvm.pid_to_cid_fid:
+        tr = {}
+        for ncid, fid in cid_fid.items():
+            if ncid not in nvm_cid_of:
+                continue
+            e = nvm_cid_of[ncid]
+            kp = nvm.cid_to_keypoint[ncid][fid] + np.asarray(
+                rig.sensors[cams[e].camera_type].optical_center)
+            kp_lists[e][len(kp_lists[e])] = kp
+            tr[e] = len(kp_lists[e]) - 1
+        if len(tr) >= 2:
+            tracks.append(tr)
+    kps = [np.stack([d[i] for i in range(len(d))]) if d else np.zeros((0, 2))
+           for d in kp_lists]
+    return TrackSet(kps, tracks)
+
+
+def _merge_tracksets(a, b):
+    """Concatenate two TrackSets over the same camera list: b's keypoints are
+    appended per camera with fid offsets, its tracks appended after a's."""
+    import numpy as np
+    from multiview_tpu.sfm.tracks import TrackSet
+
+    offs = [len(k) for k in a.keypoints]
+    kps = [np.concatenate([np.asarray(ka).reshape(-1, 2),
+                           np.asarray(kb).reshape(-1, 2)])
+           for ka, kb in zip(a.keypoints, b.keypoints)]
+    tracks = list(a.tracks) + [
+        {cid: fid + offs[cid] for cid, fid in tr.items()} for tr in b.tracks]
+    return TrackSet(kps, tracks)
 
 
 def _inlier_lookup(cams, trackset, observations):

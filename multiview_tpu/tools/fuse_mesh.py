@@ -33,6 +33,12 @@ def add_args(p: argparse.ArgumentParser):
     p.add_argument("--min_depth", type=float, default=0.5)
     p.add_argument("--max_depth", type=float, default=10.0)
     p.add_argument("--num_planes", type=int, default=64)
+    p.add_argument("--stereo_algorithm", default="wta",
+                   choices=("wta", "sgm"),
+                   help="cost selection: raw winner-take-all or 4-path "
+                        "semi-global aggregation (ASP --stereo-algorithm role)")
+    p.add_argument("--sgm_p1", type=float, default=0.03)
+    p.add_argument("--sgm_p2", type=float, default=0.3)
     p.add_argument("--voxel_size", type=float, default=0.05)
     p.add_argument("--grid_dim", type=int, default=128)
     p.add_argument("--undistorted_crop_win", default="",
@@ -107,7 +113,10 @@ def run(args):
                 res = stereo.plane_sweep(
                     jnp.asarray(ua), jnp.asarray(ub), focal, center,
                     r2n, args.min_depth, args.max_depth,
-                    num_planes=args.num_planes)
+                    num_planes=args.num_planes,
+                    aggregate=("sgm" if args.stereo_algorithm == "sgm"
+                               else "none"),
+                    sgm_p1=args.sgm_p1, sgm_p2=args.sgm_p2)
                 pts_cam = stereo.stereo_pair_to_cloud(res, np.asarray(focal),
                                                       np.asarray(center),
                                                       subsample=2)

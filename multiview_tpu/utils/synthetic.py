@@ -365,6 +365,11 @@ def add_depth_observations(scene: RigScene, sensors=(1,), subsample: int = 2,
                          else jnp.asarray(depth_scale, st.dtype)))
 
     depth_obs = []
+    pix_offsets = {}
+    acc = 0
+    for obs in scene.observations.pixels:
+        pix_offsets[obs.sensor] = acc
+        acc += len(obs)
     for obs in scene.observations.pixels:
         s = obs.sensor
         if s not in sensors:
@@ -392,7 +397,8 @@ def add_depth_observations(scene: RigScene, sensors=(1,), subsample: int = 2,
         depth_obs.append(prob.DepthObs(
             depth_xyz=depth_xyz, beg_idx=beg, end_idx=end, point_idx=pid,
             dt_cam=dtc, dt_bracket=dtb,
-            mask=jnp.ones(len(rows), bool), mesh_xyz=None, sensor=s))
+            mask=jnp.ones(len(rows), bool), mesh_xyz=None,
+            pix_row=jnp.asarray(rows + pix_offsets[s], jnp.int32), sensor=s))
 
     new_obs = dataclasses.replace(scene.observations, depths=tuple(depth_obs))
     return dataclasses.replace(scene, true_state=st, observations=new_obs)

@@ -94,7 +94,7 @@ class TestCalibrateTool:
             "--images", str(workspace / "images"),
             "--out_dir", str(out), "--no_rig",
             "--num_iterations", "10", "--calibrator_num_passes", "1",
-            "--max_features", "300", "--save_nvm"])
+            "--max_features", "300", "--num_overlaps", "2", "--save_nvm"])
         assert ret == 0
         rig2 = rc.read_rig_config(out / "rig_config.txt")
         assert rig2.sensors[0].name == "nav_cam"
@@ -122,7 +122,7 @@ class TestCalibrateTool:
             "--images", str(workspace / "images"),
             "--out_dir", str(out), "--no_rig",
             "--num_iterations", "3", "--calibrator_num_passes", "1",
-            "--max_features", "200",
+            "--max_features", "200", "--num_overlaps", "2",
             "--mesh", str(tmp_path / "plane.ply"),
             "--out_texture_dir", str(tex)])
         assert ret == 0
@@ -140,7 +140,7 @@ class TestSfmInitTool:
         ret = cli_main([
             "sfm-init", "--rig_config", str(workspace / "rig_config.txt"),
             "--images", str(workspace / "images"),
-            "--out_dir", str(out), "--max_features", "300"])
+            "--out_dir", str(out), "--max_features", "300", "--num_overlaps", "2"])
         assert ret == 0
         nvm = nvm_io.read_nvm(out / "cameras.nvm")
         assert len(nvm.cid_to_filename) == 5
@@ -320,7 +320,7 @@ class TestRigCalibrateTool:
             "--rig_transforms_to_float", "--camera_poses_to_float",
             "--bracket_len", "1.5",
             "--num_iterations", "15", "--calibrator_num_passes", "1",
-            "--max_features", "300"])
+            "--max_features", "300", "--num_overlaps", "2"])
         assert ret == 0
         rig2 = rc.read_rig_config(out / "rig_config.txt")
         # recovered rig transform close to the truth
@@ -342,7 +342,7 @@ class TestPipelineIntegration:
         ret = cli_main([
             "sfm-init", "--rig_config", str(workspace / "rig_config.txt"),
             "--images", str(workspace / "images"),
-            "--out_dir", str(sfm_out), "--max_features", "300"])
+            "--out_dir", str(sfm_out), "--max_features", "300", "--num_overlaps", "2"])
         assert ret == 0
 
         cal_out = tmp_path / "calib"
@@ -359,3 +359,120 @@ class TestPipelineIntegration:
         for M in mats:
             R = M[:3, :3]
             np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-6)
+
+
+def _depth_cloud_for(cam_to_world):
+    """Camera-frame xyz image of the terrain each pixel sees (same bisection
+    as render_plane_image, in the camera frame)."""
+    W, H = SIZE
+    us, vs = np.meshgrid(np.arange(W), np.arange(H))
+    d = np.stack([(us - W / 2.0) / FOCAL, (vs - H / 2.0) / FOCAL,
+                  np.ones_like(us, float)], -1)
+    M = np.asarray(P.pose_to_matrix(jnp.asarray(cam_to_world)))
+    o = M[:3, 3]
+    dw = d @ M[:3, :3].T
+    t_lo = np.full(us.shape, 0.2)
+    t_hi = np.full(us.shape, 8.0)
+    for _ in range(40):
+        t_mid = 0.5 * (t_lo + t_hi)
+        p = o + t_mid[..., None] * dw
+        above = p[..., 2] > _terrain_height(p[..., 0], p[..., 1])
+        t_lo = np.where(above, t_mid, t_lo)
+        t_hi = np.where(above, t_hi, t_mid)
+    return ((0.5 * (t_lo + t_hi))[..., None] * d).astype(np.float32)
+
+
+class TestCalibrateDepthMesh:
+    def test_depth_mesh_and_exports(self, workspace, tmp_path):
+        """--depth_tri_weight/--depth_mesh_weight/--mesh plus the voxblox and
+        transformed-cloud exports, end-to-end through the CLI (the reference's
+        BracketedDepthError/BracketedDepthMeshError + exportToVoxblox +
+        saveTransformedDepthClouds paths)."""
+        from multiview_tpu.io import depth_io
+
+        # depth clouds (.pc xyz-images) alongside each image, exact geometry
+        img_dir = workspace / "images" / "nav_cam"
+        names, _ = nvm_io.read_camera_poses(workspace / "cameras.txt")
+        mats = {n: m for n, m in zip(*nvm_io.read_camera_poses(
+            workspace / "cameras.txt"))}
+        for n in names:
+            from pathlib import Path
+            pth = Path(n)
+            w2c = P.matrix_to_pose(jnp.asarray(mats[n]))
+            c2w = P.pose_inverse(w2c)
+            cloud = _depth_cloud_for(np.asarray(c2w))
+            depth_io.write_xyz_image(pth.with_suffix(".pc"), cloud)
+
+        # a coarse terrain mesh over the viewed area for the mesh constraint
+        xs = np.linspace(-1.0, 3.5, 24)
+        ys = np.linspace(-1.0, 2.0, 18)
+        gx, gy = np.meshgrid(xs, ys)
+        gz = _terrain_height(gx, gy)
+        verts = np.stack([gx.ravel(), gy.ravel(), gz.ravel()], -1)
+        faces = []
+        for r in range(len(ys) - 1):
+            for c in range(len(xs) - 1):
+                a = r * len(xs) + c
+                faces += [[a, a + 1, a + len(xs)],
+                          [a + 1, a + len(xs) + 1, a + len(xs)]]
+        ply.write_ply(tmp_path / "terrain.ply", verts, np.asarray(faces, np.int32))
+
+        out = tmp_path / "calib_depth"
+        ret = cli_main([
+            "calibrate", "--rig_config", str(workspace / "rig_config.txt"),
+            "--camera_poses", str(workspace / "cameras.txt"),
+            "--images", str(workspace / "images"),
+            "--out_dir", str(out), "--no_rig",
+            "--camera_poses_to_float", "nav_cam",
+            "--num_iterations", "8", "--calibrator_num_passes", "1",
+            "--max_features", "300", "--num_overlaps", "2",
+            "--depth_tri_weight", "25.0",
+            "--mesh", str(tmp_path / "terrain.ply"),
+            "--depth_mesh_weight", "10.0", "--mesh_tri_weight", "5.0",
+            "--export_to_voxblox", "--save_transformed_depth_clouds"])
+        assert ret == 0
+
+        # voxblox export: index.txt listing cam2world + pcd pairs
+        index = out / "voxblox" / "nav_cam" / "index.txt"
+        assert index.exists()
+        lines = [l for l in index.read_text().splitlines() if l.strip()]
+        assert len(lines) == 2 * 5  # 5 entries x (pose file, cloud file)
+        ts0 = np.loadtxt(lines[0])
+        assert ts0.shape == (4, 4)
+        xyz, normals = depth_io.read_pcd(lines[1])
+        assert len(xyz) > 1000 and np.isfinite(xyz).all()
+
+        # transformed depth clouds: world-frame PLYs whose points lie on the
+        # terrain (checks depth_to_image + cam2world chaining)
+        plys = sorted((out / "transformed_depth_clouds").glob("*_trans.ply"))
+        assert len(plys) == 5
+        data = ply.read_ply(plys[0])
+        pts = data["vertices"]
+        resid = np.abs(pts[:, 2] - _terrain_height(pts[:, 0], pts[:, 1]))
+        assert np.median(resid) < 0.05
+
+    def test_affine_depth_to_image_flag(self, workspace, tmp_path):
+        """--affine_depth_to_image floats a full affine depth transform; the
+        separated scale stays fixed (rig_calibrator.cc:1787)."""
+        out = tmp_path / "calib_affine"
+        ret = cli_main([
+            "calibrate", "--rig_config", str(workspace / "rig_config.txt"),
+            "--camera_poses", str(workspace / "cameras.txt"),
+            "--images", str(workspace / "images"),
+            "--out_dir", str(out), "--no_rig",
+            "--num_iterations", "3", "--calibrator_num_passes", "1",
+            "--max_features", "200", "--num_overlaps", "2",
+            "--depth_tri_weight", "10.0", "--affine_depth_to_image",
+            "--depth_to_image_transforms_to_float", "nav_cam"])
+        assert ret == 0
+        rig2 = rc.read_rig_config(out / "rig_config.txt")
+        assert np.isfinite(rig2.sensors[0].depth_to_image).all()
+
+    def test_float_scale_affine_conflict(self, workspace, tmp_path):
+        with pytest.raises(SystemExit):
+            cli_main([
+                "calibrate", "--rig_config", str(workspace / "rig_config.txt"),
+                "--camera_poses", str(workspace / "cameras.txt"),
+                "--out_dir", str(tmp_path / "x"), "--no_rig", "--num_overlaps",
+                "1", "--images", str(workspace / "images"),
+                "--float_scale", "--affine_depth_to_image"])

@@ -103,3 +103,53 @@ class TestPlaneSweep:
         assert 0 < v1 <= v0
         err = np.abs(np.asarray(checked.depth) - depth_true)[np.asarray(checked.valid)]
         assert np.median(err) < 0.03
+
+
+class TestSGM:
+    def test_sgm_matches_truth_and_smooths(self):
+        """SGM aggregation recovers the slanted plane at least as accurately
+        as raw WTA, and strictly reduces depth roughness (the point of the
+        smoothness penalties)."""
+        ref_c2w = np.asarray(P.pose_identity(jnp.float64))
+        nbr_c2w = np.asarray(P.make_pose(jnp.asarray([0.3, 0.0, 0.0]),
+                                         P.quat_identity(jnp.float64)))
+        ref_img, depth_true = render_plane(ref_c2w, slant=0.15)
+        nbr_img, _ = render_plane(nbr_c2w, slant=0.15)
+        w2n = P.pose_inverse(jnp.asarray(nbr_c2w))
+        r2n = P.pose_compose(w2n, jnp.asarray(ref_c2w))
+
+        kw = dict(min_depth=1.5, max_depth=6.0, num_planes=96)
+        wta = stereo.plane_sweep(jnp.asarray(ref_img), jnp.asarray(nbr_img),
+                                 FOCAL, CENTER, r2n, **kw)
+        sgm = stereo.plane_sweep(jnp.asarray(ref_img), jnp.asarray(nbr_img),
+                                 FOCAL, CENTER, r2n, aggregate="sgm", **kw)
+
+        def err(res):
+            v = np.asarray(res.valid)
+            return np.median(np.abs(np.asarray(res.depth)[v] - depth_true[v]))
+
+        def roughness(res):
+            d = np.asarray(res.depth)
+            v = np.asarray(res.valid)
+            g = np.abs(np.diff(d, axis=1))
+            vv = v[:, 1:] & v[:, :-1]
+            return float(np.mean(g[vv]))
+
+        assert err(sgm) < 0.05, f"sgm median err {err(sgm)}"
+        assert err(sgm) <= err(wta) * 1.2
+        assert roughness(sgm) <= roughness(wta), \
+            f"sgm roughness {roughness(sgm)} vs wta {roughness(wta)}"
+
+    def test_sgm_aggregate_identity_on_uniform(self):
+        """With a flat cost volume the aggregation adds no disparity bias:
+        argmin stays wherever the raw cost minimum is."""
+        rng = np.random.default_rng(0)
+        H, W, D = 16, 20, 12
+        base = np.full((H, W, D), 1.0, np.float32)
+        trough = rng.integers(0, D, size=(H, W))
+        base[np.arange(H)[:, None], np.arange(W)[None, :], trough] = 0.0
+        # strong unambiguous minima survive aggregation exactly
+        agg = np.asarray(stereo.sgm_aggregate(jnp.asarray(base),
+                                              p1=0.05, p2=0.5))
+        got = agg.argmin(axis=-1)
+        assert (got == trough).mean() > 0.95
