@@ -272,8 +272,23 @@ def residual_stats(state: prob.RigState, observations: prob.Observations,
         if obs.mesh_xyz is not None and opts.depth_mesh_weight > 0:
             r = prob.depth_mesh_residuals(state, obs, opts, robust=False)
             r = r / opts.depth_mesh_weight
+            m = obs.mask if obs.mesh_mask is None else obs.mask & obs.mesh_mask
             for i, ax in enumerate("xyz"):
-                add(f"depth_mesh_{ax}_m", r[:, i], obs.mask)
+                add(f"depth_mesh_{ax}_m", r[:, i], m)
+    if observations.mesh_tri is not None and opts.mesh_tri_weight > 0:
+        r = prob.xyz_prior_residuals(state, observations.mesh_tri,
+                                     opts.mesh_tri_weight,
+                                     opts.robust_threshold, robust=False)
+        r = r / opts.mesh_tri_weight
+        for i, ax in enumerate("xyz"):
+            add(f"mesh_tri_{ax}_m", r[:, i], observations.mesh_tri.mask)
+    if observations.tri_prior is not None and opts.tri_weight > 0:
+        r = prob.xyz_prior_residuals(state, observations.tri_prior,
+                                     opts.tri_weight,
+                                     opts.tri_robust_threshold, robust=False)
+        r = r / opts.tri_weight
+        for i, ax in enumerate("xyz"):
+            add(f"tri_{ax}_m", r[:, i], observations.tri_prior.mask)
 
     stats = {}
     for name in sorted(groups):
@@ -440,9 +455,13 @@ def optimize_rig(
 
         template = state
 
+        # evalResiduals before/after each pass (rig_calibrator.cc:1905,1969)
         if pass_i == 0:
             stats_before = residual_stats(state, obs_now, models, opts, sensor_names,
                                           tag="before opt" if verbose else "")
+        elif verbose:
+            residual_stats(state, obs_now, models, opts, sensor_names,
+                           tag=f"before opt (pass {pass_i + 1})")
 
         if backend == "schur":
             if schur_solver is None:
@@ -473,6 +492,10 @@ def optimize_rig(
             lm_results.append(res)
             state = prob.unpack_state(res.x, template)
 
+        if verbose and pass_i < num_passes - 1:
+            residual_stats(state, obs_now, models, opts, sensor_names,
+                           tag=f"after opt (pass {pass_i + 1})")
+
         observations = flag_outliers(
             state, observations, models, table, opts,
             min_triangulation_angle, max_reprojection_error, verbose=verbose)
@@ -481,6 +504,16 @@ def optimize_rig(
             from multiview_tpu.calib import checkpoint as ckpt_mod
             ckpt_mod.save_checkpoint(checkpoint_dir, state, observations, pass_i)
 
-    stats_after = residual_stats(state, observations, models, opts, sensor_names,
+    obs_final = observations
+    if num_passes > start_pass:
+        # include the last pass's prior/mesh families in the final stats
+        # (fresh masks from flag_outliers + the pass's mesh intersections)
+        depths_final = tuple(
+            dataclasses.replace(d, mesh_xyz=dn.mesh_xyz, mesh_mask=dn.mesh_mask)
+            for d, dn in zip(observations.depths, obs_now.depths))
+        obs_final = dataclasses.replace(
+            observations, depths=depths_final,
+            mesh_tri=obs_now.mesh_tri, tri_prior=obs_now.tri_prior)
+    stats_after = residual_stats(state, obs_final, models, opts, sensor_names,
                                  tag="after opt" if verbose else "")
     return CalibratorResult(state, observations, stats_before, stats_after, lm_results)

@@ -102,6 +102,10 @@ class TestMeshIntersections:
         off_surface = np.abs(pts[:, 2] - (np.abs(pts[:, 0]) + 0.3))
         assert np.median(off_surface) < 2e-3, f"off-surface {np.median(off_surface)}"
         assert result.stats_after["cam0_pix_x"][1] < 0.5
+        # the mesh-tri residual class is reported in the reference's naming
+        # (mesh_tri_{x,y,z}_m, rig_calibrator.cc:1877-1879), weight-divided
+        assert "mesh_tri_x_m" in result.stats_after
+        assert result.stats_after["mesh_tri_x_m"][1] < 0.01
 
         # without the prior, the perturbed points need not settle on the roof
         opts0 = prob.BAOptions(no_rig=True)

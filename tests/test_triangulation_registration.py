@@ -130,3 +130,45 @@ class TestRegistration:
         out = R.transform_rig(2.0, rig)
         np.testing.assert_allclose(P.pose_t(out), 2.0 * P.pose_t(rig), atol=1e-12)
         np.testing.assert_allclose(P.pose_q(out), P.pose_q(rig), atol=1e-12)
+
+
+class TestPlaneUtils:
+    """dense_map_utils.cc:452-508 parity (azimuth/elevation, snapping, fit)."""
+
+    def test_azimuth_elevation_roundtrip(self):
+        from multiview_tpu.geometry import plane
+        rng = np.random.default_rng(0)
+        n = rng.normal(size=(64, 3))
+        n /= np.linalg.norm(n, axis=-1, keepdims=True)
+        a, e = plane.normal_to_azimuth_elevation(jnp.asarray(n))
+        back = np.asarray(plane.azimuth_elevation_to_normal(a, e))
+        np.testing.assert_allclose(back, n, atol=1e-12)
+        # the pole special case
+        a0, e0 = plane.normal_to_azimuth_elevation(jnp.asarray([0.0, 0.0, -1.0]))
+        assert float(a0) == 0.0 and float(e0) == -np.pi / 2
+
+    def test_snap_plane_normal(self):
+        from multiview_tpu.geometry import plane
+        nearly_z = jnp.asarray([0.05, -0.03, 0.998])
+        snapped = np.asarray(plane.snap_plane_normal(nearly_z))
+        np.testing.assert_allclose(snapped, [0.0, 0.0, 1.0], atol=1e-12)
+        diag = jnp.asarray([0.7, 0.02, 0.7])
+        snapped = np.asarray(plane.snap_plane_normal(diag))
+        s2 = np.sqrt(0.5)
+        np.testing.assert_allclose(snapped, [s2, 0.0, s2], atol=1e-12)
+
+    def test_best_fit_plane(self):
+        from multiview_tpu.geometry import plane
+        rng = np.random.default_rng(1)
+        # points on z = 2 + 0.3x - 0.2y with tiny noise
+        xy = rng.uniform(-1, 1, (200, 2))
+        z = 2.0 + 0.3 * xy[:, 0] - 0.2 * xy[:, 1]
+        pts = np.column_stack([xy, z + rng.normal(0, 1e-4, 200)])
+        centroid, normal = plane.best_fit_plane(jnp.asarray(pts))
+        n_true = np.array([-0.3, 0.2, 1.0])
+        n_true /= np.linalg.norm(n_true)
+        got = np.asarray(normal)
+        got = got * np.sign(got @ n_true)
+        np.testing.assert_allclose(got, n_true, atol=1e-3)
+        resid = (pts - np.asarray(centroid)) @ got
+        assert np.abs(resid).max() < 1e-3
