@@ -271,7 +271,8 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
                       lam0: float = 1e-4,
                       lower: Optional[jnp.ndarray] = None,
                       upper: Optional[jnp.ndarray] = None,
-                      linear_solver: str = "auto"):
+                      linear_solver: str = "auto",
+                      preconditioner: str = "auto"):
     """Build a jitted Schur-LM solve function:
     (cam_vec0, points0, observations=None) -> result.
 
@@ -302,6 +303,30 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
         linear_solver = "cg"
     use_dense_schur = linear_solver == "dense_schur"
     use_dense_j = linear_solver == "cg_dense_j"
+
+    # Preconditioner modes:
+    #   "jacobi"       — scalar diagonal of B (+damping)
+    #   "schur_jacobi" — Ceres' SCHUR_JACOBI analogue: exact-per-row 7x7
+    #                    pose-block diagonal of the reduced camera system
+    #                    S = B - E Hpp^-1 E^T (scalar for non-pose params)
+    # measured on v5e (38k obs): with the default inexact forcing (0.1) CG
+    # early-exits in ~4 iters and the block assembly overhead loses; at tight
+    # tolerances schur_jacobi cuts CG ~25% and wins (+12% iters/s)
+    if preconditioner == "auto":
+        preconditioner = "jacobi" if cg_tolerance >= 0.01 else "schur_jacobi"
+    use_block_precond = preconditioner == "schur_jacobi"
+
+    # per-family (beg_idx, end_idx) for pose-block accumulation, in exactly
+    # family_blocks' order (None for prior families with no camera block)
+    fam_pose_idx = []
+    for o in observations.pixels:
+        fam_pose_idx.append((o.beg_idx, o.end_idx))
+    for o in observations.depths:
+        if opts.depth_tri_weight > 0.0:
+            fam_pose_idx.append((o.beg_idx, o.end_idx))
+        if o.mesh_xyz is not None and opts.depth_mesh_weight > 0.0:
+            fam_pose_idx.append((o.beg_idx, o.end_idx))
+    num_ref = template.world_to_ref.shape[0]
 
     row_cols = [
         jnp.asarray(_pixel_row_cam_indices(template, o, layout))
@@ -482,6 +507,38 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
             dc = s.lam * cam_diag * cam_free + (1.0 - cam_free)
             precond = 1.0 / (cam_diag * cam_free + dc)
 
+            if use_block_precond:
+                # SCHUR_JACOBI: per-row-exact 7x7 pose blocks of
+                # S = B - E Hpp^-1 E^T (each row's point-block Schur
+                # complement is PSD, so the accumulated blocks + damping are
+                # SPD); non-pose parameters stay on the scalar diagonal.
+                hpp_inv = jnp.linalg.inv(hpp_damped)
+                blocks = jnp.zeros((num_ref, 7, 7), dtype)
+                for (j_cam, cols, j_pt, pidx), pi in zip(fams, fam_pose_idx):
+                    if j_cam is None or pi is None:
+                        continue
+                    for sl, idx in ((slice(0, 7), pi[0]), (slice(7, 14), pi[1])):
+                        jb = j_cam[:, :, sl] * cam_free[cols[:, sl]][:, None, :]
+                        bb = jnp.einsum("nki,nkj->nij", jb, jb)
+                        if j_pt is not None and pidx is not None:
+                            E = jnp.einsum("nki,nkj->nij", jb, j_pt)
+                            bb = bb - jnp.einsum("nij,njk,nlk->nil",
+                                                 E, hpp_inv[pidx], E)
+                        blocks = blocks.at[idx].add(bb)
+                blocks = blocks + jax.vmap(jnp.diag)(
+                    dc[:num_ref * 7].reshape(num_ref, 7))
+                pose_prec_inv = jnp.linalg.inv(blocks)
+                rest_precond = precond[num_ref * 7:]
+
+                def precond_apply(r):
+                    rp = r[:num_ref * 7].reshape(num_ref, 7)
+                    xp_ = jnp.einsum("rij,rj->ri", pose_prec_inv, rp)
+                    return jnp.concatenate([xp_.reshape(-1),
+                                            r[num_ref * 7:] * rest_precond])
+            else:
+                def precond_apply(r):
+                    return precond * r
+
             if use_dense_j:
                 # matmul-only matvecs from dense per-family camera Jacobians
                 # [N,k,C]: one scatter per LM iteration (the densify), zero
@@ -576,7 +633,7 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
             def cg(rhs):
                 x = jnp.zeros_like(rhs)
                 rr = rhs
-                zz = precond * rr
+                zz = precond_apply(rr)
                 p = zz
                 rz = jnp.sum(rr * zz)
                 norm0 = jnp.sum(rhs * rhs)
@@ -589,7 +646,7 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
                     alpha = jnp.where(denom > 0, alpha, 0.0)
                     x = x + alpha * p
                     rr = rr - alpha * Ap
-                    zz = precond * rr
+                    zz = precond_apply(rr)
                     rz_new = jnp.sum(rr * zz)
                     beta = rz_new / jnp.where(rz > 0, rz, 1.0)
                     p = zz + beta * p

@@ -119,3 +119,27 @@ class TestSchurSolve:
         np.testing.assert_array_equal(np.asarray(res.cam), np.asarray(cam0))
         # points still optimized
         assert float(res.cost) < float(res.initial_cost)
+
+
+class TestSchurJacobiPreconditioner:
+    def test_block_precond_reaches_same_solution(self):
+        """SCHUR_JACOBI (7x7 pose-block diagonal of the reduced system) must
+        converge to the same optimum as the scalar Jacobi preconditioner and
+        spend no more CG iterations."""
+        scene, state0, opts = _setup()
+        cam_mask = prob.build_mask(state0, prob.FloatSpec(cam_poses=True),
+                                   no_rig=True, include_points=False)
+        cam0 = prob.pack_state(state0, include_points=False)
+        results = {}
+        for pc in ("jacobi", "schur_jacobi"):
+            solver = schur.make_schur_solver(
+                scene.true_state, scene.observations, scene.models, opts,
+                cam_mask, max_iterations=25, cg_iterations=80,
+                cg_tolerance=1e-8, preconditioner=pc)
+            results[pc] = jax.jit(solver)(cam0, state0.points)
+        ja, sj = results["jacobi"], results["schur_jacobi"]
+        assert float(sj.cost) < 1e-8 * float(sj.initial_cost), \
+            f"schur_jacobi stalled: {float(sj.initial_cost)} -> {float(sj.cost)}"
+        assert float(sj.cost) <= 10.0 * max(float(ja.cost), 1e-300)
+        assert int(sj.cg_iters_total) <= int(ja.cg_iters_total), \
+            (int(sj.cg_iters_total), int(ja.cg_iters_total))
