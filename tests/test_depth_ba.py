@@ -117,3 +117,43 @@ class TestDepthCalibration:
         scale_est = np.linalg.norm(ctr_est[0] - ctr_est[-1]) / \
             np.linalg.norm(ctr_true[0] - ctr_true[-1])
         assert abs(scale_est - 1.0) < 0.01, f"scale drift {scale_est}"
+
+
+class TestDepthMeshConstraint:
+    def test_depth_mesh_residual_zero_at_truth_and_reported(self):
+        """BracketedDepthMeshError end-to-end: depth measurements agree with
+        the pixel rays' mesh intersections at the true state; the calibrator
+        attaches per-pass mesh hits via pix_row and reports the
+        depth_mesh_{x,y,z}_m residual class."""
+        import jax
+        import numpy as np
+        from tests.test_mesh_constraints import make_roof_scene, roof_mesh
+
+        state, obs, models = make_roof_scene(pix_noise=0.0)
+        verts, faces = roof_mesh()
+        tri = verts[faces]
+
+        # depth measurement for every pixel obs: the true point in the
+        # depth-sensor frame (= camera frame; identity depth_to_image)
+        pobs = obs.pixels[0]
+        w2c = jax.vmap(lambda b: state.world_to_ref[b])(pobs.beg_idx)
+        depth_xyz = pose_mod.pose_apply(w2c, state.points[pobs.point_idx])
+        n = len(pobs)
+        dob = prob.DepthObs(
+            depth_xyz=depth_xyz, beg_idx=pobs.beg_idx, end_idx=pobs.end_idx,
+            point_idx=pobs.point_idx, dt_cam=pobs.dt_cam,
+            dt_bracket=pobs.dt_bracket, mask=jnp.ones(n, bool),
+            mesh_xyz=None, pix_row=jnp.arange(n, dtype=jnp.int32), sensor=0)
+        observations = dataclasses.replace(obs, depths=(dob,))
+
+        opts = prob.BAOptions(no_rig=True, depth_mesh_weight=15.0)
+        bad = syn.perturb_state(state, pose_rot=0.003, pose_trans=0.008,
+                                point_sigma=0.01)
+        spec = prob.FloatSpec(cam_poses=True)
+        res = cal.optimize_rig(bad, observations, models, spec, opts,
+                               num_passes=2, num_iterations=25,
+                               mesh_tri_verts=tri)
+        assert "depth_mesh_x_m" in res.stats_after
+        med = res.stats_after["depth_mesh_x_m"][1]
+        assert med < 2e-3, f"depth_mesh median {med}"
+        assert res.stats_after["cam0_pix_x"][1] < 0.2
