@@ -126,8 +126,7 @@ class TestDepthMeshConstraint:
         attaches per-pass mesh hits via pix_row and reports the
         depth_mesh_{x,y,z}_m residual class."""
         import jax
-        import numpy as np
-        from tests.test_mesh_constraints import make_roof_scene, roof_mesh
+        from test_mesh_constraints import make_roof_scene, roof_mesh
 
         state, obs, models = make_roof_scene(pix_noise=0.0)
         verts, faces = roof_mesh()
@@ -136,7 +135,7 @@ class TestDepthMeshConstraint:
         # depth measurement for every pixel obs: the true point in the
         # depth-sensor frame (= camera frame; identity depth_to_image)
         pobs = obs.pixels[0]
-        w2c = jax.vmap(lambda b: state.world_to_ref[b])(pobs.beg_idx)
+        w2c = state.world_to_ref[pobs.beg_idx]
         depth_xyz = pose_mod.pose_apply(w2c, state.points[pobs.point_idx])
         n = len(pobs)
         dob = prob.DepthObs(
@@ -147,6 +146,17 @@ class TestDepthMeshConstraint:
         observations = dataclasses.replace(obs, depths=(dob,))
 
         opts = prob.BAOptions(no_rig=True, depth_mesh_weight=15.0)
+
+        # at the true state the depth-vs-mesh residual is exactly zero
+        from multiview_tpu.calib import mesh_constraints
+        obs_xyz, _ = mesh_constraints.mesh_intersections(
+            state, observations, models, tri)
+        hit = jnp.asarray(np.isfinite(obs_xyz).all(axis=-1))
+        dob_mesh = dataclasses.replace(
+            dob, mesh_xyz=jnp.asarray(np.nan_to_num(obs_xyz)), mesh_mask=hit)
+        r0 = prob.depth_mesh_residuals(state, dob_mesh, opts, robust=False)
+        assert float(jnp.abs(r0).max()) < 1e-7, float(jnp.abs(r0).max())
+
         bad = syn.perturb_state(state, pose_rot=0.003, pose_trans=0.008,
                                 point_sigma=0.01)
         spec = prob.FloatSpec(cam_poses=True)
