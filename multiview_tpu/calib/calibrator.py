@@ -118,13 +118,19 @@ def _global_focal(state: prob.RigState, observations: prob.Observations):
 
 def _scatter_mask_updates(observations: prob.Observations,
                           new_global_mask: np.ndarray) -> prob.Observations:
-    """Split a global mask back into per-sensor PixelObs masks (monotone AND)."""
+    """Split a global mask back into per-sensor PixelObs masks (monotone AND).
+    The updated mask keeps the old mask's sharding (outlier passes must not
+    silently unshard a mesh-distributed problem)."""
     out = []
     off = 0
     for obs in observations.pixels:
         n = len(obs)
         merged = np.asarray(obs.mask) & new_global_mask[off:off + n]
-        out.append(dataclasses.replace(obs, mask=jnp.asarray(merged)))
+        new_mask = jnp.asarray(merged)
+        sharding = getattr(obs.mask, "sharding", None)
+        if sharding is not None and getattr(sharding, "mesh", None) is not None:
+            new_mask = jax.device_put(new_mask, sharding)
+        out.append(dataclasses.replace(obs, mask=new_mask))
         off += n
     return dataclasses.replace(observations, pixels=tuple(out))
 

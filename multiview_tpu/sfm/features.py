@@ -50,10 +50,23 @@ def gaussian_blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
     return x
 
 
+@functools.lru_cache(maxsize=None)
+def _detect_jit(max_features: int, num_scales: int, num_octaves: int,
+                sigma0: float, edge_threshold: float):
+    """Compiled single-image detector; the contrast threshold stays a traced
+    argument so the adaptive retry loop reuses one executable."""
+    return jax.jit(lambda im, ct: detect_and_describe(
+        im, max_features=max_features, num_scales=num_scales,
+        num_octaves=num_octaves, sigma0=sigma0, contrast_threshold=ct,
+        edge_threshold=edge_threshold))
+
+
 def detect_and_describe_dynamic(img, max_features: int = 1000,
                                 min_features: Optional[int] = None,
                                 contrast_threshold: float = 0.015,
-                                max_retries: int = 5, **kw):
+                                max_retries: int = 5, num_scales: int = 3,
+                                num_octaves: int = 4, sigma0: float = 1.6,
+                                edge_threshold: float = 10.0):
     """Adaptive-threshold detection: halve the contrast threshold until at
     least ``min_features`` keypoints are found (or retries run out) — the
     role of the reference's DynamicDetector retry loop that tunes the SURF
@@ -61,10 +74,12 @@ def detect_and_describe_dynamic(img, max_features: int = 1000,
     (`/root/reference/rig_calibrator/src/matching.cc:48-183`)."""
     if min_features is None:
         min_features = max(8, max_features // 10)
+    fn = _detect_jit(max_features, num_scales, num_octaves, sigma0,
+                     edge_threshold)
+    img = jnp.asarray(img, jnp.float32)
     th = contrast_threshold
     for _ in range(max_retries):
-        kp, desc = detect_and_describe(img, max_features=max_features,
-                                       contrast_threshold=th, **kw)
+        kp, desc = fn(img, th)
         if int(kp.valid.sum()) >= min_features:
             return kp, desc
         th *= 0.25

@@ -14,6 +14,7 @@ device and pair matching is one MXU matmul per pair.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -37,16 +38,124 @@ class FrontendConfig:
     cam_filter_reproj_px: Optional[float] = None  # matchFeaturesWithCams gate
 
 
-def detect_all(images: Sequence[np.ndarray], cfg: FrontendConfig):
-    """Detect + describe every image (adaptive threshold — the reference's
-    DynamicDetector behavior). Returns (keypoints list, descriptor list)."""
-    kps, descs = [], []
-    for img in images:
-        kp, d = feat_mod.detect_and_describe_dynamic(
-            jnp.asarray(img, jnp.float32), max_features=cfg.max_features)
-        kps.append(kp)
-        descs.append(d)
+def detect_all(images: Sequence[np.ndarray], cfg: FrontendConfig,
+               batch: bool = True, chunk: int = 8):
+    """Detect + describe every image. Returns (keypoints list, descriptor
+    list).
+
+    With ``batch`` (default), same-shape images are stacked and detected by
+    one vmapped kernel per chunk — one device dispatch for the whole DoG
+    pyramid + descriptor pass of up to ``chunk`` images (the reference
+    instead queues one ThreadPool task per image, interest_point.cc:483-492).
+    Images whose detection comes back under the adaptive-threshold floor are
+    re-run individually with the reference's DynamicDetector-style retry
+    loop (matching.cc:48-183)."""
+    import jax
+
+    n = len(images)
+    kps: list = [None] * n
+    descs: list = [None] * n
+    min_features = max(8, cfg.max_features // 10)
+
+    # group by shape (sensors differ; images within a sensor agree)
+    groups: Dict[Tuple[int, int], list] = {}
+    for i, img in enumerate(images):
+        groups.setdefault(np.asarray(img).shape, []).append(i)
+
+    detect_batched = _detect_batched_fn(cfg.max_features)
+
+    for shape, ids in groups.items():
+        if not batch or len(ids) == 1:
+            for i in ids:
+                kps[i], descs[i] = feat_mod.detect_and_describe_dynamic(
+                    jnp.asarray(images[i], jnp.float32),
+                    max_features=cfg.max_features)
+            continue
+        for c0 in range(0, len(ids), chunk):
+            sel = ids[c0:c0 + chunk]
+            stack = jnp.asarray(np.stack([np.asarray(images[i], np.float32)
+                                          for i in sel]))
+            kp_b, d_b = detect_batched(stack)
+            counts = np.asarray(kp_b.valid.sum(axis=1))
+            for row, i in enumerate(sel):
+                if counts[row] >= min_features:
+                    kps[i] = jax.tree.map(lambda x: x[row], kp_b)
+                    descs[i] = d_b[row]
+                else:
+                    # straggler: adaptive-threshold retry on this image only
+                    kps[i], descs[i] = feat_mod.detect_and_describe_dynamic(
+                        jnp.asarray(images[i], jnp.float32),
+                        max_features=cfg.max_features)
     return kps, descs
+
+
+@functools.lru_cache(maxsize=None)
+def _detect_batched_fn(max_features: int):
+    """Jitted vmapped detector, cached per max_features so repeated
+    detect_all calls reuse the compiled executable."""
+    import jax
+
+    return jax.jit(jax.vmap(
+        lambda im: feat_mod.detect_and_describe(im, max_features=max_features)))
+
+
+@functools.lru_cache(maxsize=None)
+def _match_batched_fn(ratio: float, ransac_threshold: float):
+    """Jitted vmapped matcher (match + ratio + RANSAC), cached so repeated
+    match_pairs_batched calls reuse the compiled executable."""
+    import jax
+
+    def one(di, dj, xyi, xyj, vi, vj, key):
+        pairs, keep = match_mod.match_descriptors(di, dj, ratio=ratio)
+        keep = keep & vi & vj[pairs[:, 1]]
+        dst = xyj[pairs[:, 1]]
+        res = ransac_mod.ransac_affine2d(xyi, dst, valid=keep,
+                                         threshold=ransac_threshold, key=key)
+        return res.inliers, pairs[:, 1]
+
+    return jax.jit(jax.vmap(one))
+
+
+def match_pairs_batched(kps, descs, pair_ids, cfg: FrontendConfig,
+                        chunk: int = 32):
+    """Descriptor match + ratio test + affine RANSAC for MANY pairs in one
+    vmapped dispatch per chunk (static [K] padded shapes with validity masks
+    end-to-end — no host round-trips between the stages).
+
+    pair_ids: list of (i, j). Returns {(i, j): (xy_i [M,2], xy_j [M,2])}.
+    """
+    import jax
+
+    if not pair_ids:
+        return {}
+
+    one_v = _match_batched_fn(cfg.ratio, cfg.ransac_threshold)
+    out = {}
+    chunk = min(chunk, len(pair_ids))
+    for c0 in range(0, len(pair_ids), chunk):
+        sel = pair_ids[c0:c0 + chunk]
+        # pad the last chunk by repeating its first pair: one compiled batch
+        # shape per (K, chunk) instead of one per remainder size
+        pad = chunk - len(sel)
+        padded = sel + [sel[0]] * pad
+        di = jnp.stack([descs[i] for i, _ in padded])
+        dj = jnp.stack([descs[j] for _, j in padded])
+        xyi = jnp.stack([kps[i].xy for i, _ in padded])
+        xyj = jnp.stack([kps[j].xy for _, j in padded])
+        vi = jnp.stack([kps[i].valid for i, _ in padded])
+        vj = jnp.stack([kps[j].valid for _, j in padded])
+        keys = jax.vmap(jax.random.PRNGKey)(
+            jnp.asarray([i * 1000 + j for i, j in padded], jnp.uint32))
+        inl_b, tgt_b = one_v(di, dj, xyi, xyj, vi, vj, keys)
+        # one device->host transfer per chunk, then pure-host extraction
+        inl_b = np.asarray(inl_b)
+        tgt_b = np.asarray(tgt_b)
+        xyi_h = np.asarray(xyi)
+        xyj_h = np.asarray(xyj)
+        for row, (i, j) in enumerate(sel):
+            m = inl_b[row]
+            out[(i, j)] = (xyi_h[row][m], xyj_h[row][tgt_b[row][m]])
+    return out
 
 
 def match_pair(kp_i, d_i, kp_j, d_j, cfg: FrontendConfig, seed: int = 0):
@@ -99,19 +208,29 @@ def detect_match_features(images: Sequence[np.ndarray], cfg: FrontendConfig = Fr
                           ) -> tracks_mod.TrackSet:
     """Full front-end: images -> TrackSet. With cam_params/world_to_cam
     given, applies the camera-guided reprojection filter per pair."""
+    import jax
+
     kps, descs = detect_all(images, cfg)
     n = len(images)
+    pair_ids = [(i, j) for i in range(n)
+                for j in range(i + 1, min(i + 1 + cfg.num_overlaps, n))]
+    # accelerators: one dispatch per pair-chunk wins; on CPU the padded-size
+    # RANSAC arithmetic is real work, so the dynamic per-pair path is faster
+    if jax.default_backend() != "cpu":
+        raw = match_pairs_batched(kps, descs, pair_ids, cfg)
+    else:
+        raw = {}
+        for i, j in pair_ids:
+            raw[(i, j)] = match_pair(kps[i], descs[i], kps[j], descs[j], cfg,
+                                     seed=i * 1000 + j)
     pair_matches: Dict[Tuple[int, int], Tuple[np.ndarray, np.ndarray]] = {}
-    for i in range(n):
-        for j in range(i + 1, min(i + 1 + cfg.num_overlaps, n)):
-            xi, xj = match_pair(kps[i], descs[i], kps[j], descs[j], cfg,
-                                seed=i * 1000 + j)
-            if cfg.cam_filter_reproj_px is not None and cam_params is not None:
-                ci = cam_params[cams_of_image[i]]
-                cj = cam_params[cams_of_image[j]]
-                xi, xj = cam_guided_filter(xi, xj, ci, cj, world_to_cam[i],
-                                           world_to_cam[j],
-                                           cfg.cam_filter_reproj_px)
-            if len(xi) >= cfg.min_pair_matches:
-                pair_matches[(i, j)] = (xi, xj)
+    for (i, j), (xi, xj) in raw.items():
+        if cfg.cam_filter_reproj_px is not None and cam_params is not None:
+            ci = cam_params[cams_of_image[i]]
+            cj = cam_params[cams_of_image[j]]
+            xi, xj = cam_guided_filter(xi, xj, ci, cj, world_to_cam[i],
+                                       world_to_cam[j],
+                                       cfg.cam_filter_reproj_px)
+        if len(xi) >= cfg.min_pair_matches:
+            pair_matches[(i, j)] = (xi, xj)
     return tracks_mod.build_tracks(pair_matches, n)

@@ -75,6 +75,11 @@ def add_args(p: argparse.ArgumentParser):
     p.add_argument("--no_nvm_matches", action="store_true",
                    help="ignore the matches stored in the --nvm file")
     p.add_argument("--max_features", type=int, default=1000)
+    p.add_argument("--sharded", action="store_true",
+                   help="shard the observation tensors over all visible "
+                        "devices (jax.sharding Mesh; multi-host via "
+                        "jax.distributed when launched one process per "
+                        "host) — the distributed Schur BA path")
     p.add_argument("--num_opt_threads", type=int, default=16,
                    help="accepted for reference parity; XLA manages its own "
                         "threading")
@@ -296,6 +301,18 @@ def run(args):
         mesh_data = ply_io.read_ply(args.mesh)
         mesh_tri_verts = soup(mesh_data["vertices"], mesh_data["faces"])
         print(f"Loaded mesh with {len(mesh_tri_verts)} triangles for constraints")
+
+    if args.sharded:
+        import jax
+        from multiview_tpu.parallel import distributed as dist
+        from multiview_tpu.parallel import sharding as sh
+        dist.initialize()
+        mesh = dist.global_mesh()
+        if len(jax.devices()) > 1:
+            observations = sh.shard_observations(observations, mesh)
+            state = sh.replicate(state, mesh)
+            print(f"Sharded observations over {len(jax.devices())} devices "
+                  f"({jax.process_count()} process(es))")
 
     bounds = np.stack([min_off, max_off], axis=1) if args.float_timestamp_offsets \
         else None

@@ -476,3 +476,26 @@ class TestCalibrateDepthMesh:
                 "--out_dir", str(tmp_path / "x"), "--no_rig", "--num_overlaps",
                 "1", "--images", str(workspace / "images"),
                 "--float_scale", "--affine_depth_to_image"])
+
+
+class TestShardedCalibrate:
+    def test_sharded_flag_runs_on_virtual_mesh(self, workspace, tmp_path):
+        """--sharded distributes the observation tensors over the 8 virtual
+        CPU devices (conftest) and still produces valid outputs."""
+        import jax
+        assert len(jax.devices()) == 8
+        out = tmp_path / "calib_sharded"
+        ret = cli_main([
+            "calibrate", "--rig_config", str(workspace / "rig_config.txt"),
+            "--camera_poses", str(workspace / "cameras.txt"),
+            "--images", str(workspace / "images"),
+            "--out_dir", str(out), "--no_rig", "--sharded",
+            "--camera_poses_to_float", "nav_cam",
+            "--num_iterations", "6", "--calibrator_num_passes", "2",
+            "--max_features", "300", "--num_overlaps", "2"])
+        assert ret == 0
+        names, mats = nvm_io.read_camera_poses(out / "cameras.txt")
+        assert len(names) == 5
+        for M in mats:
+            R = M[:3, :3]
+            np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-6)
