@@ -18,6 +18,7 @@ host.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from pathlib import Path
 from typing import Optional, Sequence, Tuple
 
@@ -117,16 +118,24 @@ def sample_face_view_colors(vertices, faces, images: Sequence,
     ctr, _, _ = face_geometry(vertices, faces)
     cols = []
     for v in range(len(images)):
-        Xc = pose_mod.pose_apply(jnp.asarray(world_to_cam_poses[v]), ctr)
-        safe = jnp.where((Xc[:, 2:3] > 1e-6), Xc,
-                         jnp.asarray([0.0, 0.0, 1.0], Xc.dtype))
-        pix = cams[v].project_cam_to_dist_pix(safe)
-        img = jnp.asarray(np.asarray(images[v], np.float32))
+        img = np.asarray(images[v], np.float32)
         if img.ndim == 3:
-            img = jnp.mean(img, axis=-1)
-        cols.append(_bilinear(img, pix[:, 0], pix[:, 1]))
+            img = img.mean(axis=-1)
+        cols.append(_face_view_color(
+            cams[v], jnp.asarray(img), jnp.asarray(world_to_cam_poses[v]),
+            jnp.asarray(ctr)))
     colors = jnp.stack(cols, axis=1)                     # [F,V]
     return jnp.where(usable, colors, 0.0)
+
+
+@jax.jit
+def _face_view_color(cam: CameraParams, img, w2c, ctr):
+    """One view's face-center colors (compiled; reused across views)."""
+    Xc = pose_mod.pose_apply(w2c, ctr)
+    safe = jnp.where((Xc[:, 2:3] > 1e-6), Xc,
+                     jnp.asarray([0.0, 0.0, 1.0], Xc.dtype))
+    pix = cam.project_cam_to_dist_pix(safe)
+    return _bilinear(img, pix[:, 0], pix[:, 1])
 
 
 def _masked_median(x, mask):
@@ -140,6 +149,8 @@ def _masked_median(x, mask):
     return jnp.where(n[:, None] > 0, med, 0.0)
 
 
+@functools.partial(jax.jit, static_argnames=("iterations", "reject_threshold",
+                                             "min_sigma"))
 def gauss_clamping(face_view_colors, usable, iterations: int = 4,
                    reject_threshold: float = 6e-3, min_sigma: float = 1e-3):
     """Photometric outlier removal (texrecon's ``-o gauss_clamping``,
@@ -189,6 +200,7 @@ def face_neighbors(faces: np.ndarray, adjacency: np.ndarray) -> np.ndarray:
     return nbr
 
 
+@functools.partial(jax.jit, static_argnames=("smoothness", "iterations"))
 def mrf_view_selection(cost, usable, neighbors, smoothness: float = 0.1,
                        iterations: int = 20):
     """View-selection labeling as a Potts MRF on the face-adjacency graph —
@@ -307,6 +319,26 @@ def _bilinear(img, x, y):
             + c01 * (1 - fx) * fy + c11 * fx * fy)
 
 
+@functools.partial(jax.jit, static_argnames=("max_chart",))
+def _render_charts(cam: CameraParams, basis, org, w2c, img, pixel_size,
+                   max_chart: int):
+    """Texel grid -> 3D -> distorted pixels -> bilinear colors for a batch of
+    charts: [S,2,3] basis, [S,3] origins -> [S,mc,mc(,C)] colors.
+
+    One compiled executable per (camera, image shape, chart-bucket size) —
+    eager per-view execution was pure remote-compile latency on TPU."""
+    gy, gx = jnp.meshgrid(jnp.arange(max_chart, dtype=img.dtype),
+                          jnp.arange(max_chart, dtype=img.dtype), indexing="ij")
+    pts = (org[:, None, None, :]
+           + (gx[None, ..., None] * pixel_size) * basis[:, None, None, 0, :]
+           + (gy[None, ..., None] * pixel_size) * basis[:, None, None, 1, :])
+    Xc = pose_mod.pose_apply(w2c, pts.reshape(-1, 3))
+    pix = cam.project_cam_to_dist_pix(Xc)
+    colors = _bilinear(img, pix[:, 0], pix[:, 1])
+    out_shape = (basis.shape[0], max_chart, max_chart) + img.shape[2:]
+    return colors.reshape(out_shape)
+
+
 def render_atlas(atlas: Atlas, vertices, faces, best_view, visible,
                  images: Sequence, cams: Sequence[CameraParams],
                  world_to_cam_poses, face_gain: Optional[np.ndarray] = None,
@@ -335,19 +367,26 @@ def render_atlas(atlas: Atlas, vertices, faces, best_view, visible,
         sel = np.nonzero(visible & (best_view == v))[0]
         if len(sel) == 0:
             continue
-        basis = atlas.face_basis[sel]          # [S,2,3]
-        org = atlas.face_origin3d[sel]         # [S,3]
-        # texel 3D positions: [S,mc,mc,3]
-        pts = (org[:, None, None, :]
-               + (gx[None, ..., None] * atlas.pixel_size) * basis[:, None, None, 0, :]
-               + (gy[None, ..., None] * atlas.pixel_size) * basis[:, None, None, 1, :])
-        w2c = jnp.asarray(world_to_cam_poses[v])
-        Xc = pose_mod.pose_apply(w2c, jnp.asarray(pts.reshape(-1, 3)))
-        pix = cams[v].project_cam_to_dist_pix(Xc)
+        # fixed-size chart chunks: ONE compiled kernel per (camera, image
+        # shape) total, instead of per-view eager dispatch (each eager op on
+        # a new shape is a remote compile on TPU)
+        CHUNK = 2048
+        w2c = jnp.asarray(world_to_cam_poses[v], jnp.float32)
         img = jnp.asarray(np.asarray(images[v], np.float32))
-        colors = _bilinear(img, pix[:, 0], pix[:, 1])
-        colors = np.asarray(colors).reshape((len(sel), max_chart, max_chart)
-                                            + channels)
+        cam32 = jax.tree.map(lambda x: x.astype(jnp.float32)
+                             if hasattr(x, "dtype") else x, cams[v])
+        chunks = []
+        for c0 in range(0, len(sel), CHUNK):
+            part = sel[c0:c0 + CHUNK]
+            pad_n = CHUNK - len(part)
+            part_pad = np.concatenate([part, np.full(pad_n, part[0])]) \
+                if pad_n else part
+            basis = jnp.asarray(atlas.face_basis[part_pad], jnp.float32)
+            org = jnp.asarray(atlas.face_origin3d[part_pad], jnp.float32)
+            out = _render_charts(cam32, basis, org, w2c, img,
+                                 jnp.float32(atlas.pixel_size), max_chart)
+            chunks.append(np.asarray(out)[:len(part)])
+        colors = np.concatenate(chunks)
         if vertex_gain is not None:
             # barycentric interpolation of per-vertex gains over each chart
             tri = vertices[faces[sel]]                      # [S,3,3]
