@@ -20,6 +20,7 @@ Weights carry per-point intensity/color just like the ISAAC voxblox fork
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Tuple
 
 import numpy as np
@@ -72,6 +73,7 @@ def voxel_centers(grid: TsdfGrid) -> jnp.ndarray:
     return grid.origin + (idx + 0.5) * grid.voxel_size
 
 
+@functools.partial(jax.jit, static_argnames=("max_range", "max_weight"))
 def integrate_depth_image(grid: TsdfGrid, depth: jnp.ndarray, focal, center,
                           cam_to_world_pose, max_range: float = 10.0,
                           max_weight: float = 100.0,
@@ -142,6 +144,7 @@ def _fill_depth_holes(depth: jnp.ndarray, rounds: int = 2) -> jnp.ndarray:
     return jnp.where(jnp.isfinite(d), d, 0.0)
 
 
+@functools.partial(jax.jit, static_argnames=("image_size", "fill_rounds"))
 def rasterize_cloud_to_depth(points_cam: jnp.ndarray, focal, center,
                              image_size: Tuple[int, int],
                              intensities: Optional[jnp.ndarray] = None,
@@ -188,6 +191,20 @@ def integrate_point_cloud(grid: TsdfGrid, points_cam: jnp.ndarray,
         center = (image_size[0] / 2.0, image_size[1] / 2.0)
     focal = jnp.asarray(focal, grid.tsdf.dtype)
     center = jnp.asarray(center, grid.tsdf.dtype)
+    # pad the cloud to a power-of-2 row count (z=0 rows are ignored) so
+    # varying per-frame cloud sizes reuse one compiled rasterizer
+    n = points_cam.shape[0]
+    nb = 1
+    while nb < n:
+        nb *= 2
+    if nb > n:
+        pts = np.zeros((nb, 3), np.asarray(points_cam).dtype)
+        pts[:n] = np.asarray(points_cam)
+        points_cam = jnp.asarray(pts)
+        if intensities is not None:
+            iv = np.zeros(nb, np.asarray(intensities).dtype)
+            iv[:n] = np.asarray(intensities)
+            intensities = jnp.asarray(iv)
     depth, inten = rasterize_cloud_to_depth(points_cam, focal, center, image_size,
                                             intensities)
     return integrate_depth_image(grid, depth, focal, center, cam_to_world_pose,

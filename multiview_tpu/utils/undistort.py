@@ -6,6 +6,7 @@ undistorted intrinsics."""
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import numpy as np
@@ -13,6 +14,27 @@ import jax
 import jax.numpy as jnp
 
 from multiview_tpu.geometry.camera import CameraParams, UNDISTORTED, DISTORTED
+
+
+@functools.partial(jax.jit, static_argnames=("tame_px",))
+def _undistort_core(img, cam: CameraParams, tame_px: float):
+    """Remap-grid build + resample, compiled once per (camera, image shape)."""
+    W_u, H_u = cam.undistorted_size
+    W_d, H_d = cam.distorted_size
+    xs = jnp.arange(W_u, dtype=cam.dtype)
+    ys = jnp.arange(H_u, dtype=cam.dtype)
+    grid = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), axis=-1)
+    dist = cam.convert(grid, UNDISTORTED, DISTORTED)
+    dist_x = jnp.clip(dist[..., 0], -tame_px, W_d - 1 + tame_px)
+    dist_y = jnp.clip(dist[..., 1], -tame_px, H_d - 1 + tame_px)
+
+    def sample(channel):
+        return jax.scipy.ndimage.map_coordinates(channel, [dist_y, dist_x],
+                                                 order=1, mode="constant")
+
+    if img.ndim == 2:
+        return sample(img)
+    return jnp.stack([sample(img[..., c]) for c in range(img.shape[-1])], -1)
 
 
 def undistort_image(img, cam: CameraParams, crop_window: Optional[Tuple[int, int]] = None,
@@ -28,24 +50,7 @@ def undistort_image(img, cam: CameraParams, crop_window: Optional[Tuple[int, int
     """
     img = jnp.asarray(img)
     W_u, H_u = cam.undistorted_size
-    W_d, H_d = cam.distorted_size
-
-    xs = jnp.arange(W_u, dtype=cam.dtype)
-    ys = jnp.arange(H_u, dtype=cam.dtype)
-    grid = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), axis=-1)  # [H_u,W_u,2]
-    dist = cam.convert(grid, UNDISTORTED, DISTORTED)
-    dist_x = jnp.clip(dist[..., 0], -tame_px, W_d - 1 + tame_px)
-    dist_y = jnp.clip(dist[..., 1], -tame_px, H_d - 1 + tame_px)
-
-    def sample(channel):
-        return jax.scipy.ndimage.map_coordinates(channel, [dist_y, dist_x],
-                                                 order=1, mode="constant")
-
-    if img.ndim == 2:
-        out = sample(img)
-    else:
-        out = jnp.stack([sample(img[..., c]) for c in range(img.shape[-1])], -1)
-
+    out = _undistort_core(img, cam, tame_px)
     K = np.asarray(cam.intrinsic_matrix(UNDISTORTED))
     if crop_window is not None:
         cw, ch = crop_window
