@@ -287,6 +287,17 @@ def _pair_track_ranges(x1, x2, R_ij, t_ij, inliers):
     return r_i, r_j, valid
 
 
+@jax.jit
+def _essential_ransac_jit(x1, x2, valid):
+    """Essential RANSAC + cheirality decomposition, compiled once per
+    padded match-count bucket."""
+    from multiview_tpu.sfm import ransac as ransac_mod
+
+    res = ransac_mod.ransac_essential(x1, x2, valid=valid)
+    R, t = ransac_mod.decompose_essential(res.model, x1, x2, res.inliers)
+    return res.model, res.inliers, res.num_inliers, R, t
+
+
 def view_graph_from_matches(pair_data, num_views: int, dtype=jnp.float64,
                             pair_pids=None):
     """Build a ViewGraph from per-pair unit-plane correspondences.
@@ -299,15 +310,25 @@ def view_graph_from_matches(pair_data, num_views: int, dtype=jnp.float64,
     ranges ``[{view: {pid: range}}]`` in the edge's unit-baseline metric —
     the raw material for baseline-scale recovery (edge_scales_from_ranges).
     """
-    from multiview_tpu.sfm import ransac as ransac_mod
-
     edges, rots, dirs, weights, ranges = [], [], [], [], []
     for (i, j), (x1, x2) in pair_data.items():
-        res = ransac_mod.ransac_essential(jnp.asarray(x1), jnp.asarray(x2))
-        if int(res.num_inliers) < 16:
+        K = len(x1)
+        if K < 8:
             continue
-        R_ij, t_ij = ransac_mod.decompose_essential(
-            res.model, jnp.asarray(x1), jnp.asarray(x2), res.inliers)
+        # pad to a power-of-2 bucket: one compiled RANSAC+decompose per
+        # bucket size instead of one per distinct match count
+        nb = 1
+        while nb < K:
+            nb *= 2
+        x1p = np.zeros((nb, 2)); x1p[:K] = np.asarray(x1)
+        x2p = np.zeros((nb, 2)); x2p[:K] = np.asarray(x2)
+        vp = np.zeros(nb, bool); vp[:K] = True
+        E, inl, n_inl, R_ij, t_ij = _essential_ransac_jit(
+            jnp.asarray(x1p), jnp.asarray(x2p), jnp.asarray(vp))
+        if int(n_inl) < 16:
+            continue
+        x1, x2 = x1p[:K], x2p[:K]
+        res_inliers = np.asarray(inl)[:K]
         q_ij = pose_mod.matrix_to_quat(R_ij)
         edges.append((i, j))
         rots.append(np.asarray(q_ij))
@@ -318,11 +339,10 @@ def view_graph_from_matches(pair_data, num_views: int, dtype=jnp.float64,
         cji = -np.asarray(R_ij).T @ np.asarray(t_ij)
         n = np.linalg.norm(cji)
         dirs.append(cji / max(n, 1e-12))
-        weights.append(float(res.num_inliers))
+        weights.append(float(n_inl))
         if pair_pids is not None:
             r_i, r_j, valid = _pair_track_ranges(
-                np.asarray(x1), np.asarray(x2), R_ij, t_ij,
-                np.asarray(res.inliers))
+                np.asarray(x1), np.asarray(x2), R_ij, t_ij, res_inliers)
             pids = np.asarray(pair_pids[(i, j)])
             ranges.append({
                 i: {int(p): float(r) for p, r, v in zip(pids, r_i, valid) if v},
