@@ -36,6 +36,12 @@ class FrontendConfig:
     num_overlaps: int = 2             # pair set: each image vs next k (ip.cc:498-502)
     min_pair_matches: int = 8
     cam_filter_reproj_px: Optional[float] = None  # matchFeaturesWithCams gate
+    # SIFT tuning (reference flags, interest_point.cc:51-57)
+    num_scales: int = 3               # --sift_nOctaveLayers
+    num_octaves: int = 4
+    sigma0: float = 1.6               # --sift_sigma
+    contrast_threshold: float = 0.015  # --sift_contrastThreshold
+    edge_threshold: float = 10.0      # --sift_edgeThreshold
 
 
 def detect_all(images: Sequence[np.ndarray], cfg: FrontendConfig,
@@ -62,14 +68,22 @@ def detect_all(images: Sequence[np.ndarray], cfg: FrontendConfig,
     for i, img in enumerate(images):
         groups.setdefault(np.asarray(img).shape, []).append(i)
 
-    detect_batched = _detect_batched_fn(cfg.max_features)
+    detect_batched = _detect_batched_fn(
+        cfg.max_features, cfg.num_scales, cfg.num_octaves, cfg.sigma0,
+        cfg.contrast_threshold, cfg.edge_threshold)
+
+    def detect_dynamic(i):
+        return feat_mod.detect_and_describe_dynamic(
+            jnp.asarray(images[i], jnp.float32),
+            max_features=cfg.max_features, num_scales=cfg.num_scales,
+            num_octaves=cfg.num_octaves, sigma0=cfg.sigma0,
+            contrast_threshold=cfg.contrast_threshold,
+            edge_threshold=cfg.edge_threshold)
 
     for shape, ids in groups.items():
         if not batch or len(ids) == 1:
             for i in ids:
-                kps[i], descs[i] = feat_mod.detect_and_describe_dynamic(
-                    jnp.asarray(images[i], jnp.float32),
-                    max_features=cfg.max_features)
+                kps[i], descs[i] = detect_dynamic(i)
             continue
         for c0 in range(0, len(ids), chunk):
             sel = ids[c0:c0 + chunk]
@@ -83,20 +97,24 @@ def detect_all(images: Sequence[np.ndarray], cfg: FrontendConfig,
                     descs[i] = d_b[row]
                 else:
                     # straggler: adaptive-threshold retry on this image only
-                    kps[i], descs[i] = feat_mod.detect_and_describe_dynamic(
-                        jnp.asarray(images[i], jnp.float32),
-                        max_features=cfg.max_features)
+                    kps[i], descs[i] = detect_dynamic(i)
     return kps, descs
 
 
 @functools.lru_cache(maxsize=None)
-def _detect_batched_fn(max_features: int):
-    """Jitted vmapped detector, cached per max_features so repeated
+def _detect_batched_fn(max_features: int, num_scales: int, num_octaves: int,
+                       sigma0: float, contrast_threshold: float,
+                       edge_threshold: float):
+    """Jitted vmapped detector, cached per detector config so repeated
     detect_all calls reuse the compiled executable."""
     import jax
 
     return jax.jit(jax.vmap(
-        lambda im: feat_mod.detect_and_describe(im, max_features=max_features)))
+        lambda im: feat_mod.detect_and_describe(
+            im, max_features=max_features, num_scales=num_scales,
+            num_octaves=num_octaves, sigma0=sigma0,
+            contrast_threshold=contrast_threshold,
+            edge_threshold=edge_threshold)))
 
 
 @functools.lru_cache(maxsize=None)

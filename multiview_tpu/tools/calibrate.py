@@ -75,6 +75,8 @@ def add_args(p: argparse.ArgumentParser):
     p.add_argument("--no_nvm_matches", action="store_true",
                    help="ignore the matches stored in the --nvm file")
     p.add_argument("--max_features", type=int, default=1000)
+    from multiview_tpu.tools.common import add_sift_args
+    add_sift_args(p)
     p.add_argument("--sharded", action="store_true",
                    help="shard the observation tensors over all visible "
                         "devices (jax.sharding Mesh; multi-host via "
@@ -230,9 +232,8 @@ def run(args):
         if not args.images:
             raise SystemExit("--num_overlaps > 0 needs --images")
         images = [c.image for c in cams]
-        cfg = fe.FrontendConfig(
-            max_features=args.max_features, num_overlaps=args.num_overlaps,
-            cam_filter_reproj_px=args.initial_max_reprojection_error)
+        cfg = common.frontend_config_from_args(
+            args, cam_filter_reproj_px=args.initial_max_reprojection_error)
         trackset = fe.detect_match_features(
             images, cfg, cam_params=cam_params, world_to_cam=w2c_entries,
             cams_of_image=[c.camera_type for c in cams])

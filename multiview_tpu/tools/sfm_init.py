@@ -17,6 +17,8 @@ def add_args(p: argparse.ArgumentParser):
     p.add_argument("--out_dir", required=True)
     p.add_argument("--num_overlaps", type=int, default=3)
     p.add_argument("--max_features", type=int, default=1000)
+    from multiview_tpu.tools.common import add_sift_args
+    add_sift_args(p)
     p.add_argument("--num_ba_iterations", type=int, default=30,
                    help="robust BA refinement after global init (Theia's "
                         "build_reconstruction BA stage); 0 disables")
@@ -43,8 +45,7 @@ def run(args):
         sensors_of.append(sensor_names.index(Path(r.name).parent.name))
     print(f"Found {len(records)} images")
 
-    cfg = fe.FrontendConfig(max_features=args.max_features,
-                            num_overlaps=args.num_overlaps)
+    cfg = common.frontend_config_from_args(args)
     trackset = fe.detect_match_features([r.payload for r in records], cfg)
     print(f"Built {len(trackset.tracks)} tracks")
 

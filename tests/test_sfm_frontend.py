@@ -177,3 +177,28 @@ class TestFeatures:
         assert int(res.num_inliers) > 0.5 * keep.sum()
         np.testing.assert_allclose(model[:, 2], [dx, dy], atol=1.0)
         np.testing.assert_allclose(model[:, :2], np.eye(2), atol=0.05)
+
+
+def test_frontend_config_from_sift_flags():
+    """The reference's SIFT flags (interest_point.cc:51-57) map onto the
+    detector config; --sift_nFeatures overrides --max_features."""
+    import argparse
+    from multiview_tpu.tools import common
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--max_features", type=int, default=1000)
+    p.add_argument("--num_overlaps", type=int, default=2)
+    common.add_sift_args(p)
+    args = p.parse_args(["--sift_nFeatures", "5000", "--sift_sigma", "2.0",
+                         "--sift_nOctaveLayers", "4",
+                         "--sift_contrastThreshold", "0.01",
+                         "--sift_edgeThreshold", "8"])
+    cfg = common.frontend_config_from_args(args)
+    assert cfg.max_features == 5000
+    assert cfg.sigma0 == 2.0
+    assert cfg.num_scales == 4
+    assert cfg.contrast_threshold == 0.01
+    assert cfg.edge_threshold == 8.0
+
+    args2 = p.parse_args([])
+    assert common.frontend_config_from_args(args2).max_features == 1000
