@@ -254,6 +254,36 @@ class TestSmallTools:
         assert (out / img.name).exists()
         assert (out / "undistorted_intrinsics.txt").exists()
 
+    def test_undistort_tool_lists_scale_bgr(self, workspace, tmp_path):
+        """Reference-binary flags: --image_list/--output_list, --scale,
+        --save_bgr, --histogram_equalization, --undistorted_crop_win,
+        --undistorted_intrinsics (undistort_image_texrecon.cc:54-81)."""
+        import imageio.v3 as iio
+        imgs = sorted((workspace / "images" / "nav_cam").glob("*.png"))[:2]
+        lst = tmp_path / "list.txt"
+        lst.write_text("\n".join(str(p) for p in imgs) + "\n")
+        outs = [tmp_path / "u" / f"im{k}.png" for k in range(2)]
+        olst = tmp_path / "olist.txt"
+        olst.write_text("\n".join(str(p) for p in outs) + "\n")
+        intr = tmp_path / "intr.txt"
+        ret = cli_main([
+            "undistort", "--rig_config", str(workspace / "rig_config.txt"),
+            "--rig_sensor", "nav_cam", "--image_list", str(lst),
+            "--output_list", str(olst), "--scale", "0.5",
+            "--save_bgr", "--histogram_equalization",
+            "--undistorted_crop_win", "80 60",
+            "--undistorted_intrinsics", str(intr)])
+        assert ret == 0
+        for o in outs:
+            assert o.exists()
+            im = iio.imread(o)
+            # color channels kept; crop 80x60 then scale 0.5 -> 40x30
+            assert im.shape == (30, 40, 3), im.shape
+        vals = intr.read_text().splitlines()[1].split()
+        assert int(vals[0]) == 40 and int(vals[1]) == 30
+        # scaled focal = FOCAL * 0.5
+        assert abs(float(vals[2]) - FOCAL * 0.5) < 1e-6
+
 
 class TestRigCalibrateTool:
     def test_calibrate_rig_mode(self, tmp_path):
