@@ -20,9 +20,11 @@ results.
 
 from __future__ import annotations
 
+import functools
 from pathlib import Path
 from typing import Optional, Sequence, Tuple
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -56,7 +58,17 @@ def project_texture_uv(vertices, faces, cam: CameraParams, world_to_cam,
             f"Image size {raw_cols}x{raw_rows} must be an integer multiple of "
             f"the calibrated size {calib_cols}x{calib_rows} "
             "(texture_processing.cc:1014-1021)")
+    if tri_soup is None:
+        tri_soup = verts[faces_j]
+    return _project_uv_jit(verts, faces_j, cam, w2c, tri_soup, max_angle_deg)
 
+
+@functools.partial(jax.jit, static_argnames=("max_angle_deg",))
+def _project_uv_jit(verts, faces_j, cam: CameraParams, w2c, tri_soup,
+                    max_angle_deg: float):
+    """The compiled body of project_texture_uv (one executable per mesh/cam
+    shape, reused across all cameras of a sensor)."""
+    calib_cols, calib_rows = cam.distorted_size
     c2w = pose_mod.pose_inverse(w2c)
     cam_ctr = pose_mod.pose_t(c2w)
 
@@ -76,8 +88,6 @@ def project_texture_uv(vertices, faces, cam: CameraParams, world_to_cam,
     # ---- per-vertex tests, each batched over the whole mesh ----
     # occlusion: ray vertex -> camera center must not hit the mesh first
     # (tmin = 1e-4 * ray length, tmax = ray length; :1077-1087)
-    if tri_soup is None:
-        tri_soup = tri
     vdirs = cam_ctr[None, :] - verts
     vdist = jnp.linalg.norm(vdirs, axis=-1)
     vdirs = vdirs / jnp.maximum(vdist[:, None], 1e-30)
