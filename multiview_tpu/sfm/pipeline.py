@@ -85,10 +85,14 @@ def detect_all(images: Sequence[np.ndarray], cfg: FrontendConfig,
             for i in ids:
                 kps[i], descs[i] = detect_dynamic(i)
             continue
-        for c0 in range(0, len(ids), chunk):
-            sel = ids[c0:c0 + chunk]
+        csize = min(chunk, len(ids))
+        for c0 in range(0, len(ids), csize):
+            sel = ids[c0:c0 + csize]
+            # pad the last chunk by repeating its first image: one compiled
+            # batch shape per (image shape, chunk) instead of per remainder
+            padded = sel + [sel[0]] * (csize - len(sel))
             stack = jnp.asarray(np.stack([np.asarray(images[i], np.float32)
-                                          for i in sel]))
+                                          for i in padded]))
             kp_b, d_b = detect_batched(stack)
             counts = np.asarray(kp_b.valid.sum(axis=1))
             for row, i in enumerate(sel):
@@ -96,8 +100,15 @@ def detect_all(images: Sequence[np.ndarray], cfg: FrontendConfig,
                     kps[i] = jax.tree.map(lambda x: x[row], kp_b)
                     descs[i] = d_b[row]
                 else:
-                    # straggler: adaptive-threshold retry on this image only
-                    kps[i], descs[i] = detect_dynamic(i)
+                    # straggler: adaptive retry, starting one step below the
+                    # threshold the batched pass already proved insufficient
+                    kps[i], descs[i] = feat_mod.detect_and_describe_dynamic(
+                        jnp.asarray(images[i], jnp.float32),
+                        max_features=cfg.max_features,
+                        num_scales=cfg.num_scales,
+                        num_octaves=cfg.num_octaves, sigma0=cfg.sigma0,
+                        contrast_threshold=cfg.contrast_threshold * 0.25,
+                        edge_threshold=cfg.edge_threshold)
     return kps, descs
 
 

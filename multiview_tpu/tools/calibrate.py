@@ -78,10 +78,10 @@ def add_args(p: argparse.ArgumentParser):
     from multiview_tpu.tools.common import add_sift_args
     add_sift_args(p)
     p.add_argument("--sharded", action="store_true",
-                   help="shard the observation tensors over all visible "
-                        "devices (jax.sharding Mesh; multi-host via "
-                        "jax.distributed when launched one process per "
-                        "host) — the distributed Schur BA path")
+                   help="shard the observation tensors over this host's "
+                        "devices (jax.sharding Mesh) — the distributed "
+                        "Schur BA path; under jax.distributed each host "
+                        "process shards over its own chips")
     p.add_argument("--num_opt_threads", type=int, default=16,
                    help="accepted for reference parity; XLA manages its own "
                         "threading")
@@ -308,11 +308,20 @@ def run(args):
         from multiview_tpu.parallel import distributed as dist
         from multiview_tpu.parallel import sharding as sh
         dist.initialize()
-        mesh = dist.global_mesh()
-        if len(jax.devices()) > 1:
+        if jax.process_count() > 1:
+            # the calibrator's host-side outlier bookkeeping reads the
+            # observation arrays back each pass; a globally-sharded array
+            # is not addressable from one process, so the CLI shards over
+            # this host's chips only (the global-mesh solver path stays
+            # available at the library level for solver-only workloads)
+            mesh = sh.make_mesh(jax.local_devices())
+        else:
+            mesh = dist.global_mesh()
+        n_dev = mesh.devices.size
+        if n_dev > 1:
             observations = sh.shard_observations(observations, mesh)
             state = sh.replicate(state, mesh)
-            print(f"Sharded observations over {len(jax.devices())} devices "
+            print(f"Sharded observations over {n_dev} devices "
                   f"({jax.process_count()} process(es))")
 
     bounds = np.stack([min_off, max_off], axis=1) if args.float_timestamp_offsets \

@@ -91,6 +91,8 @@ def run(args):
     out = Path(args.out_dir) if args.out_dir else None
     if out is not None:
         out.mkdir(parents=True, exist_ok=True)
+    exp_cols = int(round(args.scale * cam.distorted_size[0]))
+    exp_rows = int(round(args.scale * cam.distorted_size[1]))
     K = None
     out_size = None
     for idx, img_path in enumerate(images):
@@ -98,35 +100,40 @@ def run(args):
             img = np.asarray(iio.imread(img_path), np.float32)
             if img.ndim == 2:
                 img = np.stack([img] * 3, -1)
-            img = img[..., :3] / 255.0
+            img = img[..., :3]
+            if img.max() > 1.5:  # same guarded normalization as load_gray
+                img = img / 255.0
         else:
             img = common.load_gray(img_path)
-        u, K = und.undistort_image(img, cam, crop_window=crop)
-        if args.scale != 1.0:
-            # resample to width*scale (the reference scales during remap;
-            # bilinear zoom of the undistorted result is equivalent up to
-            # resampling order)
-            from scipy.ndimage import zoom
-            factors = (args.scale, args.scale) + (1,) * (u.ndim - 2)
-            u = zoom(u, factors, order=1)
-            K = K.copy()
-            K[0] *= args.scale
-            K[1] *= args.scale
+        if img.shape[0] != exp_rows or img.shape[1] != exp_cols:
+            raise SystemExit(
+                f"The input image {img_path} has wrong dimensions "
+                f"{img.shape[1]}x{img.shape[0]}; expected {exp_cols}x{exp_rows}"
+                " (= scale * calibrated distorted size, "
+                "undistort_image_texrecon.cc:298-301)")
         if args.histogram_equalization:
-            u = _hist_equalize(u)
+            # on the distorted input, like cv::equalizeHist in the reference
+            # (undistort_image_texrecon.cc:292-297)
+            img = _hist_equalize(img)
+        u, K = und.undistort_image(img, cam, crop_window=crop,
+                                   scale=args.scale)
         out_size = (u.shape[1], u.shape[0])
         dst = Path(outputs[idx]) if outputs else out / Path(img_path).name
         dst.parent.mkdir(parents=True, exist_ok=True)
         iio.imwrite(dst, (np.clip(u, 0, 1) * 255).astype(np.uint8))
         print(f"Writing: {dst}")
 
-    intr_path = (Path(args.undistorted_intrinsics) if args.undistorted_intrinsics
-                 else (out or Path(".")) / "undistorted_intrinsics.txt")
-    intr_path.parent.mkdir(parents=True, exist_ok=True)
-    with open(intr_path, "w") as f:
-        f.write("# undistorted camera intrinsics: width height focal cx cy\n")
-        w, h = out_size
-        f.write(f"{w} {h} {float(K[0, 0])!r} {float(K[0, 2])!r} "
-                f"{float(K[1, 2])!r}\n")
-    print(f"Writing: {intr_path}")
+    if args.undistorted_intrinsics or out is not None:
+        # like the reference, no intrinsics file unless a destination is
+        # explicit (undistort_image_texrecon.cc:357-367)
+        intr_path = (Path(args.undistorted_intrinsics)
+                     if args.undistorted_intrinsics
+                     else out / "undistorted_intrinsics.txt")
+        intr_path.parent.mkdir(parents=True, exist_ok=True)
+        with open(intr_path, "w") as f:
+            f.write("# undistorted camera intrinsics: width height focal cx cy\n")
+            w, h = out_size
+            f.write(f"{w} {h} {float(K[0, 0])!r} {float(K[0, 2])!r} "
+                    f"{float(K[1, 2])!r}\n")
+        print(f"Writing: {intr_path}")
     return 0

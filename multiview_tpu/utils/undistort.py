@@ -16,17 +16,26 @@ import jax.numpy as jnp
 from multiview_tpu.geometry.camera import CameraParams, UNDISTORTED, DISTORTED
 
 
-@functools.partial(jax.jit, static_argnames=("tame_px",))
-def _undistort_core(img, cam: CameraParams, tame_px: float):
-    """Remap-grid build + resample, compiled once per (camera, image shape)."""
+@functools.partial(jax.jit, static_argnames=("tame_px", "scale"))
+def _undistort_core(img, cam: CameraParams, tame_px: float, scale: float):
+    """Remap-grid build + resample, compiled once per (camera, image shape).
+
+    ``scale`` follows GenerateRemapMaps (camera_params.cc:357-372): the grid
+    spans round(scale * undistorted_size), the conversion runs at the
+    calibrated resolution (grid / scale), and the resulting distorted
+    coordinates are multiplied back by scale — the input image must be at
+    scale * distorted_size."""
     W_u, H_u = cam.undistorted_size
-    W_d, H_d = cam.distorted_size
-    xs = jnp.arange(W_u, dtype=cam.dtype)
-    ys = jnp.arange(H_u, dtype=cam.dtype)
+    W_us = int(round(scale * W_u))
+    H_us = int(round(scale * H_u))
+    W_ds = int(round(scale * cam.distorted_size[0]))
+    H_ds = int(round(scale * cam.distorted_size[1]))
+    xs = jnp.arange(W_us, dtype=cam.dtype)
+    ys = jnp.arange(H_us, dtype=cam.dtype)
     grid = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), axis=-1)
-    dist = cam.convert(grid, UNDISTORTED, DISTORTED)
-    dist_x = jnp.clip(dist[..., 0], -tame_px, W_d - 1 + tame_px)
-    dist_y = jnp.clip(dist[..., 1], -tame_px, H_d - 1 + tame_px)
+    dist = scale * cam.convert(grid / scale, UNDISTORTED, DISTORTED)
+    dist_x = jnp.clip(dist[..., 0], -tame_px, W_ds - 1 + tame_px)
+    dist_y = jnp.clip(dist[..., 1], -tame_px, H_ds - 1 + tame_px)
 
     def sample(channel):
         return jax.scipy.ndimage.map_coordinates(channel, [dist_y, dist_x],
@@ -38,26 +47,33 @@ def _undistort_core(img, cam: CameraParams, tame_px: float):
 
 
 def undistort_image(img, cam: CameraParams, crop_window: Optional[Tuple[int, int]] = None,
-                    tame_px: float = 100.0):
+                    tame_px: float = 100.0, scale: float = 1.0):
     """Undistort an image through the camera model.
 
-    img: [H,W] or [H,W,C] float. Returns (undistorted image at the camera's
-    undistorted size (or cropped window), K matrix of the output).
+    img: [H,W] or [H,W,C] float at scale * the calibrated distorted size.
+    Returns (undistorted image at scale * undistorted size (or the cropped
+    window), K matrix of the output).
 
     The remap is the batched UNDISTORTED->DISTORTED conversion; values more
     than ``tame_px`` beyond the image are clamped (the reference's taming of
-    wild remap values, undistort_image_texrecon.cc:217-260).
-    """
+    wild remap values, undistort_image_texrecon.cc:217-260). The crop window
+    is applied UNscaled on the scaled undistorted image, exactly like the
+    reference (:253-285)."""
     img = jnp.asarray(img)
-    W_u, H_u = cam.undistorted_size
-    out = _undistort_core(img, cam, tame_px)
+    W_us = int(round(scale * cam.undistorted_size[0]))
+    H_us = int(round(scale * cam.undistorted_size[1]))
+    out = _undistort_core(img, cam, tame_px, scale)
     K = np.asarray(cam.intrinsic_matrix(UNDISTORTED))
+    K = K.copy()
+    K[0] *= scale
+    K[1] *= scale
     if crop_window is not None:
         cw, ch = crop_window
-        x0 = (W_u - cw) // 2
-        y0 = (H_u - ch) // 2
+        x0 = max((W_us - cw) // 2, 0)
+        y0 = max((H_us - ch) // 2, 0)
+        cw = min(cw, W_us - x0)
+        ch = min(ch, H_us - y0)
         out = out[y0:y0 + ch, x0:x0 + cw]
-        K = K.copy()
         K[0, 2] -= x0
         K[1, 2] -= y0
     return np.asarray(out), K

@@ -257,9 +257,21 @@ class TestSmallTools:
     def test_undistort_tool_lists_scale_bgr(self, workspace, tmp_path):
         """Reference-binary flags: --image_list/--output_list, --scale,
         --save_bgr, --histogram_equalization, --undistorted_crop_win,
-        --undistorted_intrinsics (undistort_image_texrecon.cc:54-81)."""
+        --undistorted_intrinsics (undistort_image_texrecon.cc:54-81).
+
+        Reference contract for --scale: INPUT images are at
+        scale * distorted_size; the remap runs at scale, and the unscaled
+        crop window applies to the scaled undistorted image (:253-300)."""
         import imageio.v3 as iio
-        imgs = sorted((workspace / "images" / "nav_cam").glob("*.png"))[:2]
+        from scipy.ndimage import zoom
+        srcs = sorted((workspace / "images" / "nav_cam").glob("*.png"))[:2]
+        imgs = []
+        for k, p in enumerate(srcs):
+            im = iio.imread(p)
+            half = zoom(im, 0.5, order=1)  # SIZE 200x150 -> 100x75 input
+            q = tmp_path / f"half{k}.png"
+            iio.imwrite(q, half.astype(np.uint8))
+            imgs.append(q)
         lst = tmp_path / "list.txt"
         lst.write_text("\n".join(str(p) for p in imgs) + "\n")
         outs = [tmp_path / "u" / f"im{k}.png" for k in range(2)]
@@ -277,12 +289,22 @@ class TestSmallTools:
         for o in outs:
             assert o.exists()
             im = iio.imread(o)
-            # color channels kept; crop 80x60 then scale 0.5 -> 40x30
-            assert im.shape == (30, 40, 3), im.shape
+            # crop window applies unscaled to the scaled undistorted image
+            assert im.shape == (60, 80, 3), im.shape
         vals = intr.read_text().splitlines()[1].split()
-        assert int(vals[0]) == 40 and int(vals[1]) == 30
-        # scaled focal = FOCAL * 0.5
+        assert int(vals[0]) == 80 and int(vals[1]) == 60
+        # scaled focal; cx = scale*W_u/2 - startx = 100/2 - 10 = 40
         assert abs(float(vals[2]) - FOCAL * 0.5) < 1e-6
+        assert abs(float(vals[3]) - 40.0) < 1e-6
+
+        # wrong-size input is rejected (reference FATALs, :298-301)
+        bad_lst = tmp_path / "bad.txt"
+        bad_lst.write_text(str(srcs[0]) + "\n")
+        with pytest.raises(SystemExit):
+            cli_main([
+                "undistort", "--rig_config", str(workspace / "rig_config.txt"),
+                "--sensor", "nav_cam", "--image_list", str(bad_lst),
+                "--out_dir", str(tmp_path / "x"), "--scale", "0.5"])
 
 
 class TestRigCalibrateTool:
