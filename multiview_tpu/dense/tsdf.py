@@ -193,18 +193,12 @@ def integrate_point_cloud(grid: TsdfGrid, points_cam: jnp.ndarray,
     center = jnp.asarray(center, grid.tsdf.dtype)
     # pad the cloud to a power-of-2 row count (z=0 rows are ignored) so
     # varying per-frame cloud sizes reuse one compiled rasterizer
+    from multiview_tpu.utils.padding import pad_rows_pow2
     n = points_cam.shape[0]
-    nb = 1
-    while nb < n:
-        nb *= 2
-    if nb > n:
-        pts = np.zeros((nb, 3), np.asarray(points_cam).dtype)
-        pts[:n] = np.asarray(points_cam)
-        points_cam = jnp.asarray(pts)
+    if n & (n - 1):
+        points_cam = jnp.asarray(pad_rows_pow2(np.asarray(points_cam)))
         if intensities is not None:
-            iv = np.zeros(nb, np.asarray(intensities).dtype)
-            iv[:n] = np.asarray(intensities)
-            intensities = jnp.asarray(iv)
+            intensities = jnp.asarray(pad_rows_pow2(np.asarray(intensities)))
     depth, inten = rasterize_cloud_to_depth(points_cam, focal, center, image_size,
                                             intensities)
     return integrate_depth_image(grid, depth, focal, center, cam_to_world_pose,

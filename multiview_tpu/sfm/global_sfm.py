@@ -317,12 +317,10 @@ def view_graph_from_matches(pair_data, num_views: int, dtype=jnp.float64,
             continue
         # pad to a power-of-2 bucket: one compiled RANSAC+decompose per
         # bucket size instead of one per distinct match count
-        nb = 1
-        while nb < K:
-            nb *= 2
-        x1p = np.zeros((nb, 2)); x1p[:K] = np.asarray(x1)
-        x2p = np.zeros((nb, 2)); x2p[:K] = np.asarray(x2)
-        vp = np.zeros(nb, bool); vp[:K] = True
+        from multiview_tpu.utils.padding import pad_rows_pow2
+        x1p = pad_rows_pow2(np.asarray(x1, float))
+        x2p = pad_rows_pow2(np.asarray(x2, float))
+        vp = pad_rows_pow2(np.ones(K, bool), fill=False)
         E, inl, n_inl, R_ij, t_ij = _essential_ransac_jit(
             jnp.asarray(x1p), jnp.asarray(x2p), jnp.asarray(vp))
         if int(n_inl) < 16:
