@@ -252,6 +252,16 @@ def _pixel_row_cam_indices(template: prob.RigState, obs: prob.PixelObs,
 # ----------------------------------------------------------------------------
 
 
+def _static_priors(obs, o: prob.BAOptions):
+    """Prior families present in the problem (static structure)."""
+    out = []
+    if obs.mesh_tri is not None and o.mesh_tri_weight > 0:
+        out.append((obs.mesh_tri, o.mesh_tri_weight, o.robust_threshold))
+    if obs.tri_prior is not None and o.tri_weight > 0:
+        out.append((obs.tri_prior, o.tri_weight, o.tri_robust_threshold))
+    return out
+
+
 class SchurLMResult(NamedTuple):
     cam: jnp.ndarray
     points: jnp.ndarray
@@ -277,8 +287,9 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
     (cam_vec0, points0, observations=None) -> result.
 
     cam_mask: free mask over the camera vector (points are always free).
-    Currently supports pixel and xyz-prior observation families (depth
-    families pending).
+    Supports every residual family of the reference problem: pixel
+    reprojection, depth-vs-triangulated, depth-vs-mesh, and xyz priors
+    (rig_calibrator.cc:419-751).
 
     The optional ``observations`` argument at solve time must share the
     template's index arrays and shapes (only masks/measurements may differ);
@@ -289,20 +300,33 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
     cam_free = jnp.asarray(cam_mask.astype(np.float64), template.dtype)
 
     # Linear-solver modes:
-    #   "cg"         — jvp/vjp matvecs (scales to any C; re-executes the
-    #                  residual graph per matvec)
+    #   "cg"         — jvp/vjp matvecs (re-executes the residual graph per
+    #                  matvec; no extra memory)
+    #   "cg_blocks"  — matvecs on the per-row block Jacobians that are
+    #                  already materialized each LM iteration for Hpp/the
+    #                  preconditioner. Pose-column gathers/reductions become
+    #                  one-hot matmuls (MXU work, no serialized TPU
+    #                  scatters); per-sensor constant columns are static
+    #                  gathers + sum reductions. Removes every jvp/vjp pass
+    #                  from the CG loop.
     #   "cg_dense_j" — densify per-family camera Jacobians [N,k,C] once per
     #                  LM iteration; CG matvecs become pure matmuls
     #                  (best when N*k*C fits HBM comfortably)
     #   "dense_schur"— assemble the reduced system explicitly + Cholesky
-    #   "auto"       — cg_dense_j for modest C, cg otherwise
     if linear_solver == "auto":
-        # measured on v5e: jvp/vjp CG wins at all tested scales (dense-J and
-        # dense-Schur variants are scatter/bandwidth-bound); keep them as
-        # explicit options
-        linear_solver = "cg"
+        # measured on v5e (38k obs): cg_blocks ~2x over jvp/vjp cg — the
+        # matvec is a handful of skinny matmuls instead of 4 re-executions
+        # of the residual graph; dense-J and dense-Schur variants stay
+        # scatter/bandwidth-bound options. The one-hot selectors cost
+        # 2*N*R floats, so fall back to matrix-free cg when that exceeds
+        # ~256 MB.
+        n_rows = (sum(len(o) for o in observations.pixels)
+                  + 2 * sum(len(o) for o in observations.depths))
+        r_ = template.world_to_ref.shape[0]
+        linear_solver = "cg_blocks" if 2 * n_rows * r_ <= (1 << 26) else "cg"
     use_dense_schur = linear_solver == "dense_schur"
     use_dense_j = linear_solver == "cg_dense_j"
+    use_blocks = linear_solver == "cg_blocks"
 
     # Preconditioner modes:
     #   "jacobi"       — scalar diagonal of B (+damping)
@@ -328,14 +352,27 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
             fam_pose_idx.append((o.beg_idx, o.end_idx))
     num_ref = template.world_to_ref.shape[0]
 
-    row_cols = [
-        jnp.asarray(_pixel_row_cam_indices(template, o, layout))
-        for o in observations.pixels
-    ]
-    depth_cols = [
-        jnp.asarray(_depth_row_cam_indices(template, o, layout))
-        for o in observations.depths
-    ]
+    pix_cols_np = [_pixel_row_cam_indices(template, o, layout)
+                   for o in observations.pixels]
+    depth_cols_np = [_depth_row_cam_indices(template, o, layout)
+                     for o in observations.depths]
+    row_cols = [jnp.asarray(c) for c in pix_cols_np]
+    depth_cols = [jnp.asarray(c) for c in depth_cols_np]
+
+    # Static structure for the blocks-mode matvecs, aligned with
+    # family_blocks order. Every camera-block family's Jacobian columns are
+    # [beg_pose 0:7, end_pose 7:14, per-sensor constants 14:]; the constant
+    # column indices are identical across rows, so they are host-side static.
+    fam_struct = []  # (obs_kind, obs_index, const_cols np[int32]) | None
+    for i, c in enumerate(pix_cols_np):
+        fam_struct.append(("pix", i, c[0, 14:]))
+    for i, (o, c) in enumerate(zip(observations.depths, depth_cols_np)):
+        if opts.depth_tri_weight > 0.0:
+            fam_struct.append(("depth", i, c[0, 14:]))
+        if o.mesh_xyz is not None and opts.depth_mesh_weight > 0.0:
+            fam_struct.append(("depth", i, c[0, 14:]))
+    for _ in _static_priors(observations, opts):
+        fam_struct.append(None)
 
     def unpack(cam_vec, points):
         st = prob.unpack_state(cam_vec, template, include_points=False)
@@ -366,7 +403,7 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
             if obs.mesh_xyz is not None and opts.depth_mesh_weight > 0.0:
                 j_cam, _ = _depth_row_blocks(st, obs, opts, mesh_variant=True)
                 fams.append((j_cam, cols, None, None))
-        for prior, weight, th in _priors(obs_all, opts):
+        for prior, weight, th in _static_priors(obs_all, opts):
             jp = _prior_row_blocks(st, prior, weight, th)
             fams.append((None, None, jp, prior.point_idx))
         return fams
@@ -413,14 +450,6 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
                 gp = gp.at[pidx].add(jnp.einsum("nkj,nk->nj", j_pt, ublock))
         return gc, gp
 
-    def _priors(obs, o):
-        out = []
-        if obs.mesh_tri is not None and o.mesh_tri_weight > 0:
-            out.append((obs.mesh_tri, o.mesh_tri_weight, o.robust_threshold))
-        if obs.tri_prior is not None and o.tri_weight > 0:
-            out.append((obs.tri_prior, o.tri_weight, o.tri_robust_threshold))
-        return out
-
     def _prior_row_blocks(st, prior, weight, th):
         def row(point, ref, mask):
             def f(p):
@@ -452,6 +481,31 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
             obs = observations
         c0 = cost_of(cam0, points0, obs)
         dtype = cam0.dtype
+
+        if use_blocks:
+            # One-hot row->ref-pose selectors (loop constants): pose-column
+            # gathers become [N,R]@[R,7] matmuls and the transposed
+            # reductions become [R,N]@[N,7] matmuls — MXU work instead of
+            # serialized TPU scatter-adds.
+            def onehot(idx):
+                r_ = jnp.arange(num_ref, dtype=jnp.int32)
+                return (idx[:, None] == r_[None, :]).astype(dtype)
+
+            pix_oh = {}
+            dep_oh = {}
+            metas = []
+            for fs in fam_struct:
+                if fs is None:
+                    metas.append(None)
+                    continue
+                kind, i, ccols = fs
+                cache = pix_oh if kind == "pix" else dep_oh
+                if i not in cache:
+                    o = obs.pixels[i] if kind == "pix" else obs.depths[i]
+                    cache[i] = (onehot(o.beg_idx), onehot(o.end_idx))
+                metas.append(cache[i] + (jnp.asarray(ccols),))
+        else:
+            metas = [None] * len(fam_struct)
 
         class S(NamedTuple):
             cam: jnp.ndarray
@@ -486,19 +540,97 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
             return out
 
         def body(s):
-            # linearize once per iteration: on TPU the jvp/vjp matvecs fuse
-            # into dense compiled ops and beat scatter-based block products
-            # by ~10x (measured), so CG runs on them; the explicit blocks
-            # below only feed Hpp, the Jacobi diagonal, and DENSE_SCHUR.
-            r, lin = jax.linearize(lambda c, p: residuals(c, p, obs),
-                                   s.cam, s.points)
-            lin_t = jax.linear_transpose(lin, s.cam, s.points)
+            reduce_cols = None
+            if use_blocks:
+                # zero jvp/vjp passes: residuals run once for the gradient,
+                # and the explicit row blocks (materialized anyway for
+                # Hpp/the preconditioner) drive every J/J^T product
+                r = residuals(s.cam, s.points, obs)
+                lin = lin_t = None
+                fams = family_blocks(s.cam, s.points, obs)
 
-            gc_raw, g_p = lin_t(r)
+                def xr_of(j_cam, meta, xc):
+                    """Gather each row's camera-param sub-vector [N,B]."""
+                    ohb, ohe, ccols = meta
+                    Wref = xc[:num_ref * 7].reshape(num_ref, 7)
+                    const = jnp.broadcast_to(xc[ccols],
+                                             (j_cam.shape[0], ccols.shape[0]))
+                    return jnp.concatenate([ohb @ Wref, ohe @ Wref, const],
+                                           axis=-1)
+
+                def reduce_cols(contribs):
+                    """[(meta, [N,B])] -> [C]: one-hot matmuls for the pose
+                    columns, plain sum reductions for the per-sensor static
+                    columns."""
+                    gc = jnp.zeros(layout.total, dtype)
+                    gpose = jnp.zeros((num_ref, 7), dtype)
+                    for meta, contrib in contribs:
+                        ohb, ohe, ccols = meta
+                        gpose = gpose + ohb.T @ contrib[:, :7] \
+                            + ohe.T @ contrib[:, 7:14]
+                        gc = gc.at[ccols].add(jnp.sum(contrib[:, 14:], axis=0))
+                    return gc.at[:num_ref * 7].add(gpose.reshape(-1))
+
+                def Jmv(xc, xp):
+                    parts = []
+                    for (j_cam, cols, j_pt, pidx), meta in zip(fams, metas):
+                        u = None
+                        if j_cam is not None:
+                            u = jnp.einsum("nkb,nb->nk", j_cam,
+                                           xr_of(j_cam, meta, xc))
+                        if j_pt is not None:
+                            up = jnp.einsum("nkj,nj->nk", j_pt, xp[pidx])
+                            u = up if u is None else u + up
+                        parts.append(u.reshape(-1))
+                    return jnp.concatenate(parts)
+
+                def JTmv(u):
+                    gp = jnp.zeros((num_points, 3), dtype)
+                    contribs = []
+                    off = 0
+                    for (j_cam, cols, j_pt, pidx), meta in zip(fams, metas):
+                        blk = j_cam if j_cam is not None else j_pt
+                        n, k = blk.shape[0], blk.shape[1]
+                        ub = jax.lax.dynamic_slice_in_dim(u, off, n * k)
+                        ub = ub.reshape(n, k)
+                        off += n * k
+                        if j_cam is not None:
+                            contribs.append(
+                                (meta, jnp.einsum("nkb,nk->nb", j_cam, ub)))
+                        if j_pt is not None:
+                            gp = gp.at[pidx].add(
+                                jnp.einsum("nkj,nk->nj", j_pt, ub))
+                    return reduce_cols(contribs), gp
+
+                gc_raw, g_p = JTmv(r)
+            else:
+                # linearize once per iteration: the jvp/vjp matvecs fuse into
+                # dense compiled ops with no extra memory footprint
+                r, lin = jax.linearize(lambda c, p: residuals(c, p, obs),
+                                       s.cam, s.points)
+                lin_t = jax.linear_transpose(lin, s.cam, s.points)
+                Jmv = lin
+
+                def JTmv(u):
+                    return lin_t(u)
+
+                gc_raw, g_p = lin_t(r)
+                fams = family_blocks(s.cam, s.points, obs)
+
             g_c = gc_raw * cam_free
 
-            fams = family_blocks(s.cam, s.points, obs)
-            hpp, cam_diag = hpp_and_diag(fams)
+            if use_blocks:
+                hpp = jnp.zeros((num_points, 3, 3), template.dtype)
+                contribs = []
+                for (j_cam, cols, j_pt, pidx), meta in zip(fams, metas):
+                    if j_pt is not None and pidx is not None:
+                        hpp = hpp.at[pidx].add(
+                            jnp.einsum("nri,nrj->nij", j_pt, j_pt))
+                    if j_cam is not None:
+                        contribs.append((meta, jnp.sum(j_cam * j_cam, axis=1)))
+                cam_diag = reduce_cols(contribs)
+            else:
+                hpp, cam_diag = hpp_and_diag(fams)
             cam_diag = jnp.clip(cam_diag, 1e-12, 1e32)
             pt_diag = jnp.clip(jnp.diagonal(hpp, axis1=-2, axis2=-1), 1e-12, 1e32)
 
@@ -514,17 +646,25 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
                 # SPD); non-pose parameters stay on the scalar diagonal.
                 hpp_inv = jnp.linalg.inv(hpp_damped)
                 blocks = jnp.zeros((num_ref, 7, 7), dtype)
-                for (j_cam, cols, j_pt, pidx), pi in zip(fams, fam_pose_idx):
+                for (j_cam, cols, j_pt, pidx), pi, meta in zip(
+                        fams, fam_pose_idx, metas):
                     if j_cam is None or pi is None:
                         continue
-                    for sl, idx in ((slice(0, 7), pi[0]), (slice(7, 14), pi[1])):
+                    for sl, idx, side in ((slice(0, 7), pi[0], 0),
+                                          (slice(7, 14), pi[1], 1)):
                         jb = j_cam[:, :, sl] * cam_free[cols[:, sl]][:, None, :]
                         bb = jnp.einsum("nki,nkj->nij", jb, jb)
                         if j_pt is not None and pidx is not None:
                             E = jnp.einsum("nki,nkj->nij", jb, j_pt)
                             bb = bb - jnp.einsum("nij,njk,nlk->nil",
                                                  E, hpp_inv[pidx], E)
-                        blocks = blocks.at[idx].add(bb)
+                        if meta is not None:
+                            # one-hot matmul segment-sum (no TPU scatter)
+                            blocks = blocks + (
+                                meta[side].T @ bb.reshape(-1, 49)
+                            ).reshape(num_ref, 7, 7)
+                        else:
+                            blocks = blocks.at[idx].add(bb)
                 blocks = blocks + jax.vmap(jnp.diag)(
                     dc[:num_ref * 7].reshape(num_ref, 7))
                 pose_prec_inv = jnp.linalg.inv(blocks)
@@ -589,16 +729,16 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
                 rhs = -(g_c - gc0 * cam_free)
             else:
                 def schur_mv(x):
-                    u = lin(x * cam_free, zero_p)
-                    _, v = lin_t(u)
+                    u = Jmv(x * cam_free, zero_p)
+                    _, v = JTmv(u)
                     w = batched_solve3(hpp_damped, v)
-                    z = lin(zero_c, w)
-                    gc, _ = lin_t(u - z)
+                    z = Jmv(zero_c, w)
+                    gc, _ = JTmv(u - z)
                     return gc * cam_free + dc * x
 
                 # rhs = -(g_c - E Hpp^-1 g_p)
                 w0 = batched_solve3(hpp_damped, g_p)
-                gc0, _ = lin_t(lin(zero_c, w0))
+                gc0, _ = JTmv(Jmv(zero_c, w0))
                 rhs = -(g_c - gc0 * cam_free)
 
             def dense_schur_solve(rhs):
@@ -666,8 +806,8 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
                 dc_step, cg_k = cg(rhs)
 
             # back-substitute points: dp = Hpp^-1 (-g_p - Jp^T Jc dc)
-            u = lin(dc_step * cam_free, zero_p)
-            _, v = lin_t(u)
+            u = Jmv(dc_step * cam_free, zero_p)
+            _, v = JTmv(u)
             dp = batched_solve3(hpp_damped, -g_p - v)
 
             cam_new = project(s.cam + dc_step * cam_free)
@@ -676,7 +816,7 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
 
             # exact model reduction: -g.d - 0.5|Jd|^2 - 0.5 lam d'Dd
             step_c = cam_new - s.cam
-            Jd = lin(step_c, dp)
+            Jd = Jmv(step_c, dp)
             pred = -(jnp.sum(step_c * g_c) + jnp.sum(dp * g_p)) \
                 - 0.5 * jnp.sum(Jd * Jd) \
                 - 0.5 * s.lam * (jnp.sum(cam_diag * step_c * step_c)

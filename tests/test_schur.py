@@ -121,6 +121,34 @@ class TestSchurSolve:
         assert float(res.cost) < float(res.initial_cost)
 
 
+class TestLinearSolverModes:
+    def test_cg_blocks_matches_cg(self):
+        """The blocks-mode matvecs (one-hot matmul segment sums over the
+        materialized row Jacobians) must reproduce the jvp/vjp matvecs: same
+        LM trajectory on a rig problem with pixel + depth families."""
+        from multiview_tpu.utils import synthetic as syn2
+        scene = syn2.make_rig_scene(n_ref=10, pix_noise=0.2)
+        state0 = syn2.perturb_rig_state(scene.true_state)
+        opts = prob.BAOptions(depth_tri_weight=100.0)
+        cam_mask = prob.build_mask(
+            state0, prob.FloatSpec(cam_poses=True, rig_transforms=True,
+                                   focal=(0, 1), optical_center=(0, 1)),
+            include_points=False)
+        cam0 = prob.pack_state(state0, include_points=False)
+        out = {}
+        for mode in ("cg", "cg_blocks"):
+            solver = schur.make_schur_solver(
+                state0, scene.observations, scene.models, opts, cam_mask,
+                max_iterations=12, cg_iterations=40, cg_tolerance=1e-10,
+                linear_solver=mode)
+            out[mode] = jax.jit(solver)(cam0, state0.points)
+        a, b = out["cg"], out["cg_blocks"]
+        assert int(b.iterations) == int(a.iterations)
+        np.testing.assert_allclose(float(b.cost), float(a.cost), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(b.cam), np.asarray(a.cam),
+                                   rtol=1e-5, atol=1e-7)
+
+
 class TestSchurJacobiPreconditioner:
     def test_block_precond_reaches_same_solution(self):
         """SCHUR_JACOBI (7x7 pose-block diagonal of the reduced system) must
