@@ -111,11 +111,15 @@ def main():
     from multiview_tpu.solver import schur
     from multiview_tpu.utils import synthetic as syn
 
-    bench_matching()
+    import sys
+    # secondary benches must never block the headline JSON line
+    try:
+        bench_matching()
+    except Exception as e:
+        print(f"[bench] matching skipped: {str(e)[:200]}", file=sys.stderr)
     try:
         bench_scaling()
     except Exception as e:
-        import sys
         print(f"[bench] scaling skipped: {str(e)[:200]}", file=sys.stderr)
 
     dtype = jnp.float32

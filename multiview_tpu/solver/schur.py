@@ -314,16 +314,17 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
     #                  (best when N*k*C fits HBM comfortably)
     #   "dense_schur"— assemble the reduced system explicitly + Cholesky
     if linear_solver == "auto":
-        # measured on v5e (38k obs): cg_blocks ~2x over jvp/vjp cg — the
-        # matvec is a handful of skinny matmuls instead of 4 re-executions
-        # of the residual graph; dense-J and dense-Schur variants stay
-        # scatter/bandwidth-bound options. The one-hot selectors cost
-        # 2*N*R floats, so fall back to matrix-free cg when that exceeds
-        # ~256 MB.
+        # measured on v5e: cg_blocks beats jvp/vjp cg 2.5-3.2x at every
+        # tested scale (38k obs: 97 vs 39 iters/s; 1.57M obs: 3.2 vs 1.0)
+        # with ~3-6x faster XLA compiles — the matvec is a handful of
+        # skinny matmuls instead of 4 re-executions of the residual graph.
+        # The one-hot selectors cost 2*N*R floats (3.2 GB at the largest
+        # measured size, still a clear win); fall back to the zero-memory
+        # matrix-free cg only when they would not fit comfortably (~2 GB).
         n_rows = (sum(len(o) for o in observations.pixels)
                   + 2 * sum(len(o) for o in observations.depths))
         r_ = template.world_to_ref.shape[0]
-        linear_solver = "cg_blocks" if 2 * n_rows * r_ <= (1 << 26) else "cg"
+        linear_solver = "cg_blocks" if 2 * n_rows * r_ <= (1 << 29) else "cg"
     use_dense_schur = linear_solver == "dense_schur"
     use_dense_j = linear_solver == "cg_dense_j"
     use_blocks = linear_solver == "cg_blocks"

@@ -56,20 +56,38 @@ def depth_values_batch(depth_cloud: Optional[np.ndarray], dist_ips: np.ndarray
 _GAMMA = 2.2
 
 
+def srgb_gamma(x: np.ndarray) -> np.ndarray:
+    """sRGB forward transfer for x in [0,1] (``dense_map::gamma``,
+    dense_map_utils.cc:572-579): 12.92x below 0.0031308, else
+    1.055 x^(1/2.4) - 0.055."""
+    x = np.asarray(x, float)
+    return np.where(x <= 0.0031308, 12.92 * x,
+                    1.055 * np.power(np.maximum(x, 1e-12), 1.0 / 2.4) - 0.055)
+
+
+def srgb_inv_gamma(x: np.ndarray) -> np.ndarray:
+    """sRGB inverse transfer (``dense_map::inv_gamma``,
+    dense_map_utils.cc:581-587)."""
+    x = np.asarray(x, float)
+    return np.where(x <= 0.04045, x / 12.92,
+                    np.power(np.maximum((x + 0.055) / 1.055, 0.0), 2.4))
+
+
 def exposure_correction(max_iso_times_exposure: float, iso: float, exposure: float,
                         image: np.ndarray) -> np.ndarray:
-    """Brightness normalization in linear-light space: undo gamma, scale by
-    max_iso_times_exposure/(iso*exposure), re-apply gamma. image: uint8 or
-    float in [0,1]."""
+    """Brightness normalization in linear-light space: undo the sRGB gamma,
+    scale by max_iso_times_exposure/(iso*exposure), re-apply the gamma —
+    the exact piecewise-sRGB recipe of ``dense_map::exposureCorrection``
+    (dense_map_utils.cc:590-615). image: uint8 or float in [0,1]."""
     scale = max_iso_times_exposure / iso / exposure
     img = np.asarray(image, float)
     was_u8 = image.dtype == np.uint8
     if was_u8:
         img = img / 255.0
-    out = np.power(np.clip(np.power(img, _GAMMA) * scale, 0.0, 1.0), 1.0 / _GAMMA)
+    out = srgb_gamma(srgb_inv_gamma(img) * scale)
     if was_u8:
-        return np.minimum(np.round(out * 255.0), 255.0).astype(np.uint8)
-    return out
+        return np.clip(np.round(out * 255.0), 0.0, 255.0).astype(np.uint8)
+    return np.clip(out, 0.0, 1.0)
 
 
 def scale_image(max_iso_times_exposure: float, iso: float, exposure: float,

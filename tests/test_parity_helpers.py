@@ -41,6 +41,20 @@ class TestExposure:
         out = im.exposure_correction(400.0, 10.0, 10.0, img)
         assert out.mean() > img.mean()
 
+    def test_srgb_piecewise_matches_reference(self):
+        """Exact sRGB transfer pair (dense_map_utils.cc:572-587): linear
+        segment below the breakpoints, power law above, and round-trip
+        identity."""
+        assert im.srgb_gamma(0.001) == 12.92 * 0.001
+        np.testing.assert_allclose(im.srgb_gamma(0.5),
+                                   1.055 * 0.5 ** (1 / 2.4) - 0.055)
+        assert im.srgb_inv_gamma(0.04) == 0.04 / 12.92
+        np.testing.assert_allclose(im.srgb_inv_gamma(0.5),
+                                   ((0.5 + 0.055) / 1.055) ** 2.4)
+        x = np.linspace(0.0, 1.0, 64)
+        np.testing.assert_allclose(im.srgb_gamma(im.srgb_inv_gamma(x)), x,
+                                   atol=1e-9)
+
     def test_scale_image(self):
         img = np.full((4, 4), 100, np.uint8)
         out = im.scale_image(400.0, 10.0, 10.0, img)
