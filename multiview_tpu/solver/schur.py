@@ -291,13 +291,15 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
     reprojection, depth-vs-triangulated, depth-vs-mesh, and xyz priors
     (rig_calibrator.cc:419-751).
 
-    The optional ``observations`` argument at solve time must share the
-    template's index arrays and shapes (only masks/measurements may differ);
-    passing updated masks this way avoids a recompile per outlier pass.
+    The optional ``observations`` argument at solve time must keep the
+    template's static family structure (which pixel/depth/prior families
+    exist, their sensors and shapes), but its index arrays, masks, and
+    measurements are all runtime values: one compiled solver serves outlier
+    passes, re-bracketing, and incremental-SfM growth without recompiles.
     """
     layout = cam_layout(template)
     num_points = template.points.shape[0]
-    cam_free = jnp.asarray(cam_mask.astype(np.float64), template.dtype)
+    cam_free_default = jnp.asarray(cam_mask.astype(np.float64), template.dtype)
 
     # Linear-solver modes:
     #   "cg"         — jvp/vjp matvecs (re-executes the residual graph per
@@ -341,37 +343,52 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
         preconditioner = "jacobi" if cg_tolerance >= 0.01 else "schur_jacobi"
     use_block_precond = preconditioner == "schur_jacobi"
 
-    # per-family (beg_idx, end_idx) for pose-block accumulation, in exactly
-    # family_blocks' order (None for prior families with no camera block)
-    fam_pose_idx = []
-    for o in observations.pixels:
-        fam_pose_idx.append((o.beg_idx, o.end_idx))
-    for o in observations.depths:
-        if opts.depth_tri_weight > 0.0:
-            fam_pose_idx.append((o.beg_idx, o.end_idx))
-        if o.mesh_xyz is not None and opts.depth_mesh_weight > 0.0:
-            fam_pose_idx.append((o.beg_idx, o.end_idx))
     num_ref = template.world_to_ref.shape[0]
 
-    pix_cols_np = [_pixel_row_cam_indices(template, o, layout)
-                   for o in observations.pixels]
-    depth_cols_np = [_depth_row_cam_indices(template, o, layout)
-                     for o in observations.depths]
-    row_cols = [jnp.asarray(c) for c in pix_cols_np]
-    depth_cols = [jnp.asarray(c) for c in depth_cols_np]
+    # Per-sensor constant Jacobian-column indices (host-static: they depend
+    # only on the layout + sensor, never on which images an observation row
+    # touches). Every camera-block family's columns are [beg_pose 0:7,
+    # end_pose 7:14, per-sensor constants 14:].
+    def _pixel_const_cols(s: int) -> np.ndarray:
+        d = int(template.dist[s].size)
+        return np.concatenate([
+            layout.ref_to_cam + s * 7 + np.arange(7),
+            [layout.offsets + s], [layout.focal + s],
+            layout.ctr + s * 2 + np.arange(2),
+            layout.dist[s] + np.arange(d)]).astype(np.int32)
 
-    # Static structure for the blocks-mode matvecs, aligned with
-    # family_blocks order. Every camera-block family's Jacobian columns are
-    # [beg_pose 0:7, end_pose 7:14, per-sensor constants 14:]; the constant
-    # column indices are identical across rows, so they are host-side static.
+    def _depth_const_cols(s: int) -> np.ndarray:
+        nd = template.depth_to_image.shape[1]
+        return np.concatenate([
+            layout.ref_to_cam + s * 7 + np.arange(7),
+            [layout.offsets + s],
+            layout.d2i + s * nd + np.arange(nd),
+            [layout.dscale + s]]).astype(np.int32)
+
+    def _row_cols_jnp(obs, const_cols) -> jnp.ndarray:
+        """[N,B] Jacobian column indices from the RUNTIME index arrays —
+        traced values, so one compiled solver serves any index set of the
+        same shape (mask updates, incremental-SfM growth, re-bracketing)."""
+        seven = jnp.arange(7, dtype=jnp.int32)[None, :]
+        N = obs.beg_idx.shape[0]
+        return jnp.concatenate([
+            layout.world_to_ref + obs.beg_idx.astype(jnp.int32)[:, None] * 7 + seven,
+            layout.world_to_ref + obs.end_idx.astype(jnp.int32)[:, None] * 7 + seven,
+            jnp.broadcast_to(jnp.asarray(const_cols), (N, len(const_cols))),
+        ], axis=-1)
+
+    # Static family structure aligned with family_blocks order: which obs
+    # feeds each family and its constant columns. Solve-time observations
+    # must keep this structure (families, sensors, shapes); index
+    # values/masks/measurements are free to differ.
     fam_struct = []  # (obs_kind, obs_index, const_cols np[int32]) | None
-    for i, c in enumerate(pix_cols_np):
-        fam_struct.append(("pix", i, c[0, 14:]))
-    for i, (o, c) in enumerate(zip(observations.depths, depth_cols_np)):
+    for i, o in enumerate(observations.pixels):
+        fam_struct.append(("pix", i, _pixel_const_cols(o.sensor)))
+    for i, o in enumerate(observations.depths):
         if opts.depth_tri_weight > 0.0:
-            fam_struct.append(("depth", i, c[0, 14:]))
+            fam_struct.append(("depth", i, _depth_const_cols(o.sensor)))
         if o.mesh_xyz is not None and opts.depth_mesh_weight > 0.0:
-            fam_struct.append(("depth", i, c[0, 14:]))
+            fam_struct.append(("depth", i, _depth_const_cols(o.sensor)))
     for _ in _static_priors(observations, opts):
         fam_struct.append(None)
 
@@ -394,16 +411,23 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
         instead of re-executing the residual graph."""
         st = unpack(cam_vec, points)
         fams = []
-        for obs, cols in zip(obs_all.pixels, row_cols):
+        fi = 0
+        for obs in obs_all.pixels:
             j_cam, j_pt = _pixel_row_blocks(st, obs, models[obs.sensor], opts)
+            cols = _row_cols_jnp(obs, fam_struct[fi][2])
+            fi += 1
             fams.append((j_cam, cols, j_pt, obs.point_idx))
-        for obs, cols in zip(obs_all.depths, depth_cols):
+        for obs in obs_all.depths:
             if opts.depth_tri_weight > 0.0:
                 j_cam, j_pt = _depth_row_blocks(st, obs, opts, mesh_variant=False)
-                fams.append((j_cam, cols, j_pt, obs.point_idx))
+                fams.append((j_cam, _row_cols_jnp(obs, fam_struct[fi][2]),
+                             j_pt, obs.point_idx))
+                fi += 1
             if obs.mesh_xyz is not None and opts.depth_mesh_weight > 0.0:
                 j_cam, _ = _depth_row_blocks(st, obs, opts, mesh_variant=True)
-                fams.append((j_cam, cols, None, None))
+                fams.append((j_cam, _row_cols_jnp(obs, fam_struct[fi][2]),
+                             None, None))
+                fi += 1
         for prior, weight, th in _static_priors(obs_all, opts):
             jp = _prior_row_blocks(st, prior, weight, th)
             fams.append((None, None, jp, prior.point_idx))
@@ -477,11 +501,27 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
             cam_vec = jnp.minimum(cam_vec, upper)
         return cam_vec
 
-    def lm_solve(cam0, points0, obs=None):
+    def lm_solve(cam0, points0, obs=None, cam_mask_rt=None):
         if obs is None:
             obs = observations
+        # runtime free-mask override: incremental SfM freezes/unfreezes
+        # camera blocks between calls without recompiling
+        cam_free = (jnp.asarray(cam_mask_rt, template.dtype)
+                    if cam_mask_rt is not None else cam_free_default)
         c0 = cost_of(cam0, points0, obs)
         dtype = cam0.dtype
+
+        # per-family (beg_idx, end_idx) for pose-block accumulation, in
+        # exactly family_blocks' order (prior families carry no camera block
+        # and are dropped by zip truncation below)
+        fam_pose_idx = []
+        for o in obs.pixels:
+            fam_pose_idx.append((o.beg_idx, o.end_idx))
+        for o in obs.depths:
+            if opts.depth_tri_weight > 0.0:
+                fam_pose_idx.append((o.beg_idx, o.end_idx))
+            if o.mesh_xyz is not None and opts.depth_mesh_weight > 0.0:
+                fam_pose_idx.append((o.beg_idx, o.end_idx))
 
         if use_blocks:
             # One-hot row->ref-pose selectors (loop constants): pose-column
