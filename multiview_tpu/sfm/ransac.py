@@ -223,3 +223,162 @@ def decompose_essential(E, x1, x2, inliers):
     Rs = jnp.stack([c[0] for c in cands])
     ts = jnp.stack([c[1] for c in cands])
     return Rs[best], ts[best]
+
+
+# ----------------------------------------------------------------------------
+# Absolute pose (PnP) — the incremental-SfM view-registration solver
+# (the role of Theia's RANSAC absolute-pose estimation behind
+#  --absolute_pose_reprojection_error_threshold / --min_num_absolute_pose_inliers,
+#  /root/reference/rig_calibrator/theia_flags.txt:109-114)
+# ----------------------------------------------------------------------------
+
+
+class PnpResult(NamedTuple):
+    pose: jnp.ndarray      # [7] world->cam [tx,ty,tz,qx,qy,qz,qw]
+    inliers: jnp.ndarray   # [N] bool
+    num_inliers: jnp.ndarray
+
+
+def _fit_pnp_dlt(X, x, w=None):
+    """Weighted DLT absolute pose from world points X [K,3] and unit-plane
+    observations x [K,2]: nullspace of the 2K x 12 system for P=[R|t], then
+    projection of the left 3x3 onto SO(3) (scale absorbed into t)."""
+    k = X.shape[0]
+    dtype = X.dtype
+    if w is None:
+        w = jnp.ones(k, dtype)
+    Xh = jnp.concatenate([X, jnp.ones((k, 1), dtype)], axis=-1)   # [K,4]
+    z = jnp.zeros((k, 4), dtype)
+    r1 = jnp.concatenate([Xh, z, -x[:, 0:1] * Xh], axis=-1)       # [K,12]
+    r2 = jnp.concatenate([z, Xh, -x[:, 1:2] * Xh], axis=-1)
+    A = jnp.concatenate([r1 * w[:, None], r2 * w[:, None]])       # [2K,12]
+    _, _, Vt = jnp.linalg.svd(A, full_matrices=False)
+    P = Vt[-1].reshape(3, 4)
+    # the nullspace vector's sign is arbitrary: fix it FIRST by cheirality
+    # (majority of the weighted points must land at positive depth) so that
+    # P ~ +s[R|t]; only then is the SO(3) projection well-posed (the left
+    # 3x3 of -s[R|t] has three EQUAL singular values, so projecting it
+    # without the sign fix lands on an arbitrary rotation).
+    z = Xh @ P[2]
+    sgn = jnp.sign(jnp.sum(jnp.sign(z) * w))
+    P = P * jnp.where(sgn == 0, 1.0, sgn)
+    U, S, Vt2 = jnp.linalg.svd(P[:, :3])
+    d = jnp.linalg.det(U @ Vt2)  # +1 for any sane sample; guard anyway
+    R = U @ jnp.diag(jnp.asarray([1.0, 1.0, 0.0], dtype)
+                     + jnp.asarray([0.0, 0.0, 1.0], dtype) * d) @ Vt2
+    scale = jnp.mean(S)
+    t = P[:, 3] / jnp.where(scale > 1e-30, scale, 1e-30)
+    return R, t
+
+
+def _fit_pnp_planar(X, x, w=None):
+    """Homography-based absolute pose for (near-)coplanar world points —
+    the configuration where the 6-point DLT is rank-deficient. Fits the
+    points' plane frame, estimates the plane->image homography
+    H ~ [R e1, R e2, R O + t], and recovers (R, t) Zhang-style."""
+    k = X.shape[0]
+    dtype = X.dtype
+    if w is None:
+        w = jnp.ones(k, dtype)
+    wsum = jnp.maximum(jnp.sum(w), 1e-30)
+    O = jnp.sum(X * w[:, None], axis=0) / wsum
+    Xc = X - O
+    _, _, VtP = jnp.linalg.svd(Xc * w[:, None], full_matrices=False)
+    e1, e2 = VtP[0], VtP[1]
+    e3 = jnp.cross(e1, e2)                 # right-handed plane frame
+    uv = jnp.stack([Xc @ e1, Xc @ e2], axis=-1)
+    uvh = jnp.concatenate([uv, jnp.ones((k, 1), dtype)], axis=-1)
+    z3 = jnp.zeros((k, 3), dtype)
+    r1 = jnp.concatenate([uvh, z3, -x[:, 0:1] * uvh], axis=-1)
+    r2 = jnp.concatenate([z3, uvh, -x[:, 1:2] * uvh], axis=-1)
+    A = jnp.concatenate([r1 * w[:, None], r2 * w[:, None]])
+    _, _, Vt9 = jnp.linalg.svd(A, full_matrices=False)
+    H = Vt9[-1].reshape(3, 3)
+    # cheirality: centroid (plane coords (0,0)) must land at positive depth
+    s = jnp.sign(H[2, 2])
+    H = H * jnp.where(s == 0, 1.0, s)
+    lam = 2.0 / jnp.maximum(jnp.linalg.norm(H[:, 0])
+                            + jnp.linalg.norm(H[:, 1]), 1e-30)
+    c1 = H[:, 0] * lam
+    c2 = H[:, 1] * lam
+    RE = jnp.stack([c1, c2, jnp.cross(c1, c2)], axis=1)   # ~ R @ E
+    U, _, Vt3 = jnp.linalg.svd(RE)
+    d = jnp.linalg.det(U @ Vt3)
+    RE = U @ jnp.diag(jnp.asarray([1.0, 1.0, 0.0], dtype)
+                      + jnp.asarray([0.0, 0.0, 1.0], dtype) * d) @ Vt3
+    E = jnp.stack([e1, e2, e3], axis=1)                   # columns
+    R = RE @ E.T
+    t = lam * H[:, 2] - R @ O
+    return R, t
+
+
+def _pnp_err(R, t, X, x):
+    Xc = X @ R.T + t
+    zc = jnp.where(jnp.abs(Xc[:, 2]) > 1e-30, Xc[:, 2], 1e-30)
+    proj = Xc[:, :2] / zc[:, None]
+    return jnp.linalg.norm(proj - x, axis=-1), Xc[:, 2]
+
+
+def ransac_pnp(X, x, valid=None, threshold: float = 4e-3,
+               num_hypotheses: int = 512, refit_rounds: int = 2,
+               key: Optional[jax.Array] = None) -> PnpResult:
+    """Batched-hypothesis RANSAC absolute pose (world->cam) from 2D-3D
+    correspondences.
+
+    X: [N,3] world points; x: [N,2] unit-plane (undistorted, focal-
+    normalized) observations; threshold: reprojection error on the unit
+    plane (the reference recipe's 4 px at 1024-wide images ~ 4e-3 at
+    f~1000, theia_flags.txt:112). Minimal solver: 6-point DLT + SO(3)
+    projection; scoring enforces positive depth.
+    """
+    from multiview_tpu.geometry import pose as pose_mod
+    if key is None:
+        key = jax.random.PRNGKey(2)
+    X = jnp.asarray(X)
+    x = jnp.asarray(x)
+    n = X.shape[0]
+    if n < 6:
+        return PnpResult(pose_mod.pose_identity(X.dtype),
+                         jnp.zeros(n, bool), jnp.asarray(0))
+    if valid is None:
+        valid = jnp.ones(n, bool)
+    probs = valid.astype(X.dtype) / jnp.maximum(jnp.sum(valid), 1.0)
+    samples = jax.random.choice(key, n, shape=(num_hypotheses, 6),
+                                replace=True, p=probs)
+
+    def score_of(R, t):
+        err, depth = _pnp_err(R, t, X, x)
+        return jnp.sum((err <= threshold) & (depth > 0) & valid)
+
+    def dual_fit(Xs, xs, w=None):
+        """Run both minimal solvers and keep whichever scores higher: the
+        6-point DLT handles general scenes, the homography pose handles the
+        coplanar configuration where the DLT is rank-deficient."""
+        Ra, ta = _fit_pnp_dlt(Xs, xs, w=w)
+        Rb, tb = _fit_pnp_planar(Xs, xs, w=w)
+        na, nb = score_of(Ra, ta), score_of(Rb, tb)
+        pick = nb > na
+        return (jnp.where(pick, Rb, Ra), jnp.where(pick, tb, ta),
+                jnp.maximum(na, nb))
+
+    def one(rows):
+        return dual_fit(X[rows], x[rows])
+
+    Rs, ts, scores = jax.vmap(one)(samples)
+    best = jnp.argmax(scores)
+    R, t = Rs[best], ts[best]
+
+    def refit(_, Rt):
+        R, t = Rt
+        err, depth = _pnp_err(R, t, X, x)
+        w = ((err <= threshold) & (depth > 0) & valid).astype(X.dtype)
+        R2, t2, _ = dual_fit(X, x, w=w)
+        # keep the refit only if it does not lose inliers
+        keep = score_of(R2, t2) >= score_of(R, t)
+        return jnp.where(keep, R2, R), jnp.where(keep, t2, t)
+
+    R, t = jax.lax.fori_loop(0, refit_rounds, refit, (R, t))
+    err, depth = _pnp_err(R, t, X, x)
+    inliers = (err <= threshold) & (depth > 0) & valid
+    pose = pose_mod.make_pose(t, pose_mod.matrix_to_quat(R))
+    return PnpResult(pose, inliers, jnp.sum(inliers))

@@ -22,6 +22,21 @@ def add_args(p: argparse.ArgumentParser):
     p.add_argument("--num_ba_iterations", type=int, default=30,
                    help="robust BA refinement after global init (Theia's "
                         "build_reconstruction BA stage); 0 disables")
+    p.add_argument("--reconstruction_estimator", default="GLOBAL",
+                   choices=["GLOBAL", "INCREMENTAL"],
+                   help="pose-initialization strategy (the engine option "
+                        "behind theia_flags.txt:64; the reference recipe "
+                        "pins GLOBAL)")
+    p.add_argument("--absolute_pose_reprojection_error_threshold",
+                   type=float, default=4.0,
+                   help="INCREMENTAL: PnP inlier threshold in pixels, "
+                        "relative to a 1024-wide image (theia_flags.txt:112)")
+    p.add_argument("--min_num_absolute_pose_inliers", type=int, default=30,
+                   help="INCREMENTAL: theia_flags.txt:114")
+    p.add_argument("--partial_bundle_adjustment_num_views", type=int,
+                   default=20, help="INCREMENTAL: theia_flags.txt:113")
+    p.add_argument("--full_bundle_adjustment_growth_percent", type=float,
+                   default=5.0, help="INCREMENTAL: theia_flags.txt:114")
 
 
 def run(args):
@@ -74,8 +89,35 @@ def run(args):
                  if k in pair_data}
     print(f"View graph edges: {len(pair_data)}")
 
-    poses = global_sfm.run_global_sfm(pair_data, len(records),
-                                      pair_pids=pair_pids)
+    if args.reconstruction_estimator == "INCREMENTAL":
+        from multiview_tpu.sfm import incremental as inc
+        # flat unit-plane track observations (normalized by each obs'
+        # sensor focal, mirroring the triangulation block below)
+        cam_idx_i, _, pix_i, pid_i = tracks_to_arrays(trackset)
+        uv_rows = []
+        for k in range(len(cam_idx_i)):
+            cp = cam_params[sensors_of[cam_idx_i[k]]]
+            u = np.asarray(cp.convert(jnp.asarray(pix_i[k]), DISTORTED,
+                                      UNDISTORTED_C))
+            uv_rows.append(u / float(cp.mean_focal))
+        mean_f = float(np.mean([cp.mean_focal for cp in cam_params]))
+        mean_w = float(np.mean([cp.distorted_size[0] for cp in cam_params]))
+        thr = (args.absolute_pose_reprojection_error_threshold
+               * (mean_w / 1024.0) / mean_f)
+        inc_opts = inc.IncrementalOptions(
+            reproj_threshold=thr,
+            min_pnp_inliers=args.min_num_absolute_pose_inliers,
+            partial_ba_views=args.partial_bundle_adjustment_num_views,
+            full_ba_growth_percent=args.full_bundle_adjustment_growth_percent,
+            verbose=True)
+        poses, reg_mask, _, _ = inc.run_incremental_sfm(
+            pair_data, len(records), (cam_idx_i, pid_i, np.stack(uv_rows)),
+            inc_opts)
+        print(f"Incremental SfM registered {int(reg_mask.sum())}"
+              f"/{len(records)} views")
+    else:
+        poses = global_sfm.run_global_sfm(pair_data, len(records),
+                                          pair_pids=pair_pids)
 
     # ---- robust BA refinement (TheiaSfM runs a full Huber BA after global
     # init, theia_flags.txt:26-165 — essential here: direction-only position

