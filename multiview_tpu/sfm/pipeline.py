@@ -42,6 +42,12 @@ class FrontendConfig:
     sigma0: float = 1.6               # --sift_sigma
     contrast_threshold: float = 0.015  # --sift_contrastThreshold
     edge_threshold: float = 10.0      # --sift_edgeThreshold
+    # >0: select match pairs by global-descriptor retrieval (each image vs
+    # its K most similar) instead of temporal num_overlaps — Theia's
+    # num_nearest_neighbors_for_global_descriptor_matching
+    # (theia_flags.txt:57-62)
+    retrieval_neighbors: int = 0
+    retrieval_clusters: int = 16      # num_gmm_clusters_for_fisher_vector
 
 
 def detect_all(images: Sequence[np.ndarray], cfg: FrontendConfig,
@@ -241,8 +247,14 @@ def detect_match_features(images: Sequence[np.ndarray], cfg: FrontendConfig = Fr
 
     kps, descs = detect_all(images, cfg)
     n = len(images)
-    pair_ids = [(i, j) for i in range(n)
-                for j in range(i + 1, min(i + 1 + cfg.num_overlaps, n))]
+    if cfg.retrieval_neighbors > 0:
+        from multiview_tpu.sfm import retrieval
+        pair_ids = retrieval.select_pairs(
+            descs, [k.valid for k in kps], cfg.retrieval_neighbors,
+            num_clusters=cfg.retrieval_clusters)
+    else:
+        pair_ids = [(i, j) for i in range(n)
+                    for j in range(i + 1, min(i + 1 + cfg.num_overlaps, n))]
     # accelerators: one dispatch per pair-chunk wins; on CPU the padded-size
     # RANSAC arithmetic is real work, so the dynamic per-pair path is faster
     if jax.default_backend() != "cpu":

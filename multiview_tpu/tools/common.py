@@ -109,6 +109,14 @@ def add_sift_args(p):
                         "OpenCV's scale)")
     p.add_argument("--sift_edgeThreshold", type=float, default=10.0)
     p.add_argument("--sift_sigma", type=float, default=1.6)
+    p.add_argument("--num_nearest_neighbors_for_global_descriptor_matching",
+                   type=int, default=0,
+                   help=">0: pick match pairs by global-descriptor (VLAD) "
+                        "retrieval instead of temporal --num_overlaps "
+                        "(theia_flags.txt:57-62)")
+    p.add_argument("--num_gmm_clusters_for_fisher_vector", type=int,
+                   default=16, help="retrieval codebook size "
+                                    "(theia_flags.txt:61)")
 
 
 def frontend_config_from_args(args, **overrides):
@@ -123,6 +131,10 @@ def frontend_config_from_args(args, **overrides):
         sigma0=getattr(args, "sift_sigma", 1.6),
         contrast_threshold=getattr(args, "sift_contrastThreshold", 0.015),
         edge_threshold=getattr(args, "sift_edgeThreshold", 10.0),
-        num_overlaps=getattr(args, "num_overlaps", 2))
+        num_overlaps=getattr(args, "num_overlaps", 2),
+        retrieval_neighbors=getattr(
+            args, "num_nearest_neighbors_for_global_descriptor_matching", 0),
+        retrieval_clusters=getattr(
+            args, "num_gmm_clusters_for_fisher_vector", 16))
     kw.update(overrides)
     return FrontendConfig(**kw)

@@ -151,6 +151,24 @@ class TestSfmInitTool:
         d04 = np.linalg.norm(ctrs[4] - ctrs[0])
         assert d04 > 2.5 * d01
 
+    def test_sfm_init_retrieval_pairs(self, workspace, tmp_path):
+        """Global-descriptor retrieval pair selection produces the same
+        reconstruction quality as temporal pairing on this sequence."""
+        out = tmp_path / "sfm_ret"
+        ret = cli_main([
+            "sfm-init", "--rig_config", str(workspace / "rig_config.txt"),
+            "--images", str(workspace / "images"),
+            "--out_dir", str(out), "--max_features", "300",
+            "--num_nearest_neighbors_for_global_descriptor_matching", "3"])
+        assert ret == 0
+        nvm = nvm_io.read_nvm(out / "cameras.nvm")
+        assert len(nvm.cid_to_filename) == 5
+        assert len(nvm.pid_to_cid_fid) > 20
+        ctrs = np.stack([-M[:3, :3].T @ M[:3, 3] for M in nvm.world_to_cam])
+        d01 = np.linalg.norm(ctrs[1] - ctrs[0])
+        d04 = np.linalg.norm(ctrs[4] - ctrs[0])
+        assert d04 > 2.5 * d01
+
     def test_sfm_init_incremental(self, workspace, tmp_path):
         """--reconstruction_estimator INCREMENTAL registers every view and
         produces the same linear-trajectory structure as GLOBAL."""

@@ -202,3 +202,33 @@ def test_frontend_config_from_sift_flags():
 
     args2 = p.parse_args([])
     assert common.frontend_config_from_args(args2).max_features == 1000
+
+
+class TestRetrieval:
+    def test_select_pairs_groups_by_content(self):
+        """Global-descriptor retrieval must propose within-scene pairs even
+        when the two scenes are interleaved in time (where temporal
+        num_overlaps pairing would cross scenes)."""
+        import numpy as np
+        import jax.numpy as jnp
+        from multiview_tpu.sfm import retrieval
+
+        rng = np.random.default_rng(0)
+        K, D = 64, 32
+        # two scenes = two distinct descriptor clusters (+ per-image noise)
+        base_a = rng.normal(0, 1, (K, D))
+        base_b = rng.normal(0, 1, (K, D))
+        descs, valids = [], []
+        for i in range(8):  # even images scene A, odd images scene B
+            base = base_a if i % 2 == 0 else base_b
+            d = base + rng.normal(0, 0.05, (K, D))
+            d /= np.linalg.norm(d, axis=-1, keepdims=True)
+            descs.append(jnp.asarray(d))
+            valids.append(jnp.ones(K, bool))
+        pairs = retrieval.select_pairs(descs, valids, num_neighbors=3,
+                                       num_clusters=8)
+        same_scene = [(i, j) for i, j in pairs if (i % 2) == (j % 2)]
+        assert len(same_scene) >= 0.9 * len(pairs), pairs
+        # every image appears in at least one pair
+        seen = {v for p in pairs for v in p}
+        assert seen == set(range(8))
