@@ -16,6 +16,28 @@ import argparse
 import sys
 
 
+def expand_flagfiles(argv):
+    """gflags-style ``--flagfile=<path>`` expansion (the reference pins its
+    recipes in flagfiles, e.g. theia_flags.txt): each non-empty, non-comment
+    line of the file is inserted as one argument, recursively."""
+    out = []
+    for a in argv:
+        path = None
+        if a.startswith("--flagfile="):
+            path = a.split("=", 1)[1]
+        if path is None:
+            out.append(a)
+            continue
+        lines = []
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if line and not line.startswith("#"):
+                    lines.append(line)
+        out.extend(expand_flagfiles(lines))
+    return out
+
+
 def main(argv=None):
     from multiview_tpu.tools import (calibrate, sfm_init, fuse_mesh,
                                      texture_mesh, fit_rpc_tool, undistort_tool)
@@ -35,7 +57,9 @@ def main(argv=None):
     for name, mod in tools.items():
         p = sub.add_parser(name, help=(mod.__doc__ or "").strip().splitlines()[0])
         mod.add_args(p)
-    args = parser.parse_args(argv)
+    if argv is None:
+        argv = sys.argv[1:]
+    args = parser.parse_args(expand_flagfiles(list(argv)))
     return tools[args.tool].run(args)
 
 

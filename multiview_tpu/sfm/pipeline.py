@@ -48,10 +48,89 @@ class FrontendConfig:
     # (theia_flags.txt:57-62)
     retrieval_neighbors: int = 0
     retrieval_clusters: int = 16      # num_gmm_clusters_for_fisher_vector
+    # out-of-core matching (Theia's --match_out_of_core /
+    # --matching_working_directory / --matching_max_num_images_in_cache,
+    # theia_flags.txt:30-46): features spill to disk per image and are
+    # re-read through an LRU cache, so collections far larger than memory
+    # can be matched
+    match_out_of_core: bool = False
+    matching_working_directory: Optional[str] = None
+    matching_max_num_images_in_cache: int = 128
+
+
+class FeatureStore:
+    """Disk-backed per-image feature store with an LRU read cache —
+    Theia's out-of-core matching role (`theia_flags.txt:30-46`). Features
+    are written once per image as ``feat_<idx>.npz`` and read back on
+    demand; at most ``max_in_cache`` images stay resident."""
+
+    def __init__(self, workdir, max_in_cache: int = 128):
+        import os
+        from collections import OrderedDict
+        self.dir = str(workdir)
+        os.makedirs(self.dir, exist_ok=True)
+        self.max_in_cache = max(1, int(max_in_cache))
+        self._cache = OrderedDict()
+        self.n = 0
+
+    def _path(self, idx: int) -> str:
+        import os
+        return os.path.join(self.dir, f"feat_{idx:06d}.npz")
+
+    def put(self, idx: int, kp, desc):
+        np.savez(self._path(idx),
+                 xy=np.asarray(kp.xy), scale=np.asarray(kp.scale),
+                 response=np.asarray(kp.response),
+                 angle=np.asarray(kp.angle), valid=np.asarray(kp.valid),
+                 desc=np.asarray(desc))
+        self.n = max(self.n, idx + 1)
+        self._insert(idx, self._load(idx))
+
+    def _load(self, idx: int):
+        with np.load(self._path(idx)) as z:
+            kp = feat_mod.Keypoints(z["xy"], z["scale"], z["response"],
+                                    z["angle"], z["valid"])
+            return kp, z["desc"]
+
+    def _insert(self, idx, item):
+        self._cache[idx] = item
+        self._cache.move_to_end(idx)
+        while len(self._cache) > self.max_in_cache:
+            self._cache.popitem(last=False)
+
+    def get(self, idx: int):
+        if idx in self._cache:
+            self._cache.move_to_end(idx)
+            return self._cache[idx]
+        item = self._load(idx)
+        self._insert(idx, item)
+        return item
+
+    class _View:
+        def __init__(self, store, which):
+            self._store, self._which = store, which
+
+        def __len__(self):
+            return self._store.n
+
+        def __getitem__(self, idx):
+            return self._store.get(idx)[self._which]
+
+        def __iter__(self):
+            return (self[i] for i in range(len(self)))
+
+    @property
+    def kps(self):
+        return FeatureStore._View(self, 0)
+
+    @property
+    def descs(self):
+        return FeatureStore._View(self, 1)
 
 
 def detect_all(images: Sequence[np.ndarray], cfg: FrontendConfig,
-               batch: bool = True, chunk: int = 8):
+               batch: bool = True, chunk: int = 8,
+               store: Optional[FeatureStore] = None):
     """Detect + describe every image. Returns (keypoints list, descriptor
     list).
 
@@ -68,6 +147,15 @@ def detect_all(images: Sequence[np.ndarray], cfg: FrontendConfig,
     kps: list = [None] * n
     descs: list = [None] * n
     min_features = max(8, cfg.max_features // 10)
+
+    def emit(i, kp, d):
+        """Route one image's features to memory or the disk store (the
+        store path frees them immediately — streaming detection)."""
+        if store is not None:
+            import jax as _jax
+            store.put(i, _jax.tree.map(np.asarray, kp), np.asarray(d))
+        else:
+            kps[i], descs[i] = kp, d
 
     # group by shape (sensors differ; images within a sensor agree)
     groups: Dict[Tuple[int, int], list] = {}
@@ -89,7 +177,7 @@ def detect_all(images: Sequence[np.ndarray], cfg: FrontendConfig,
     for shape, ids in groups.items():
         if not batch or len(ids) == 1:
             for i in ids:
-                kps[i], descs[i] = detect_dynamic(i)
+                emit(i, *detect_dynamic(i))
             continue
         csize = min(chunk, len(ids))
         for c0 in range(0, len(ids), csize):
@@ -103,18 +191,19 @@ def detect_all(images: Sequence[np.ndarray], cfg: FrontendConfig,
             counts = np.asarray(kp_b.valid.sum(axis=1))
             for row, i in enumerate(sel):
                 if counts[row] >= min_features:
-                    kps[i] = jax.tree.map(lambda x: x[row], kp_b)
-                    descs[i] = d_b[row]
+                    emit(i, jax.tree.map(lambda x: x[row], kp_b), d_b[row])
                 else:
                     # straggler: adaptive retry, starting one step below the
                     # threshold the batched pass already proved insufficient
-                    kps[i], descs[i] = feat_mod.detect_and_describe_dynamic(
+                    emit(i, *feat_mod.detect_and_describe_dynamic(
                         jnp.asarray(images[i], jnp.float32),
                         max_features=cfg.max_features,
                         num_scales=cfg.num_scales,
                         num_octaves=cfg.num_octaves, sigma0=cfg.sigma0,
                         contrast_threshold=cfg.contrast_threshold * 0.25,
-                        edge_threshold=cfg.edge_threshold)
+                        edge_threshold=cfg.edge_threshold))
+    if store is not None:
+        return store.kps, store.descs
     return kps, descs
 
 
@@ -245,7 +334,11 @@ def detect_match_features(images: Sequence[np.ndarray], cfg: FrontendConfig = Fr
     given, applies the camera-guided reprojection filter per pair."""
     import jax
 
-    kps, descs = detect_all(images, cfg)
+    store = None
+    if cfg.match_out_of_core and cfg.matching_working_directory:
+        store = FeatureStore(cfg.matching_working_directory,
+                             cfg.matching_max_num_images_in_cache)
+    kps, descs = detect_all(images, cfg, store=store)
     n = len(images)
     if cfg.retrieval_neighbors > 0:
         from multiview_tpu.sfm import retrieval

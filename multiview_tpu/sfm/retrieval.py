@@ -84,18 +84,33 @@ def select_pairs(descs: Sequence, valids: Sequence, num_neighbors: int,
     ``num_neighbors`` most similar images (by VLAD cosine similarity) as
     match candidates. Returns sorted unique (i, j) pairs with i < j.
 
-    descs: per-image [K,D] local descriptors; valids: per-image [K] masks.
+    descs: per-image [K,D] local descriptors; valids: per-image [K] masks —
+    any indexable sequences (lists or a disk-backed FeatureStore view:
+    images are visited in chunks, so out-of-core collections stream).
     """
-    desc = jnp.stack([jnp.asarray(d) for d in descs])       # [N,K,D]
-    valid = jnp.stack([jnp.asarray(v) for v in valids])     # [N,K]
-    n = desc.shape[0]
-    flat = desc.reshape(-1, desc.shape[-1])
-    fval = valid.reshape(-1)
-    if flat.shape[0] > max_train:
-        stride = int(np.ceil(flat.shape[0] / max_train))
-        flat, fval = flat[::stride], fval[::stride]
-    cent = kmeans_codebook(flat, fval, k=num_clusters, seed=seed)
-    g = vlad_descriptors(desc, valid, cent)                 # [N,CD]
+    n = len(descs)
+    # pass 1: subsample training descriptors per image (streams the store)
+    per = max(8, max_train // max(n, 1))
+    train, tval = [], []
+    for i in range(n):
+        d = np.asarray(descs[i])
+        v = np.asarray(valids[i])
+        rows = np.where(v)[0][:per]
+        train.append(d[rows])
+        tval.append(np.ones(len(rows), bool))
+    cent = kmeans_codebook(jnp.asarray(np.concatenate(train)),
+                           jnp.asarray(np.concatenate(tval)),
+                           k=num_clusters, seed=seed)
+    # pass 2: VLAD per chunk of images -> small [N, C*D] global matrix
+    gs = []
+    chunk = 64
+    for c0 in range(0, n, chunk):
+        dchunk = jnp.stack([jnp.asarray(descs[i])
+                            for i in range(c0, min(c0 + chunk, n))])
+        vchunk = jnp.stack([jnp.asarray(valids[i])
+                            for i in range(c0, min(c0 + chunk, n))])
+        gs.append(np.asarray(vlad_descriptors(dchunk, vchunk, cent)))
+    g = jnp.asarray(np.concatenate(gs))
     sim = np.array(g @ g.T)                                 # one MXU matmul
     np.fill_diagonal(sim, -np.inf)
     kq = min(num_neighbors, n - 1)

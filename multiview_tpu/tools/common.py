@@ -117,6 +117,13 @@ def add_sift_args(p):
     p.add_argument("--num_gmm_clusters_for_fisher_vector", type=int,
                    default=16, help="retrieval codebook size "
                                     "(theia_flags.txt:61)")
+    p.add_argument("--match_out_of_core", action="store_true",
+                   help="spill per-image features to disk and match through "
+                        "an LRU cache (theia_flags.txt:30-46)")
+    p.add_argument("--matching_working_directory", default=None,
+                   help="feature-spill directory for --match_out_of_core")
+    p.add_argument("--matching_max_num_images_in_cache", type=int,
+                   default=128)
 
 
 def frontend_config_from_args(args, **overrides):
@@ -135,6 +142,11 @@ def frontend_config_from_args(args, **overrides):
         retrieval_neighbors=getattr(
             args, "num_nearest_neighbors_for_global_descriptor_matching", 0),
         retrieval_clusters=getattr(
-            args, "num_gmm_clusters_for_fisher_vector", 16))
+            args, "num_gmm_clusters_for_fisher_vector", 16),
+        match_out_of_core=getattr(args, "match_out_of_core", False),
+        matching_working_directory=getattr(
+            args, "matching_working_directory", None),
+        matching_max_num_images_in_cache=getattr(
+            args, "matching_max_num_images_in_cache", 128))
     kw.update(overrides)
     return FrontendConfig(**kw)

@@ -597,3 +597,21 @@ class TestShardedCalibrate:
         for M in mats:
             R = M[:3, :3]
             np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-6)
+
+
+class TestFlagfile:
+    def test_flagfile_expansion(self, workspace, tmp_path):
+        """gflags-style --flagfile works like the reference's pinned
+        recipes (theia_flags.txt)."""
+        ff = tmp_path / "flags.txt"
+        ff.write_text(
+            "# pinned recipe\n"
+            "--max_features=300\n"
+            "--num_overlaps=2\n")
+        out = tmp_path / "sfm_ff"
+        ret = cli_main([
+            "sfm-init", "--rig_config", str(workspace / "rig_config.txt"),
+            "--images", str(workspace / "images"),
+            "--out_dir", str(out), f"--flagfile={ff}"])
+        assert ret == 0
+        assert (out / "cameras.nvm").exists()

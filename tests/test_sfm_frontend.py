@@ -232,3 +232,32 @@ class TestRetrieval:
         # every image appears in at least one pair
         seen = {v for p in pairs for v in p}
         assert seen == set(range(8))
+
+
+class TestOutOfCore:
+    def test_store_matches_in_memory(self, tmp_path):
+        """Out-of-core matching (disk feature store, tiny LRU cache) must
+        produce the same tracks as the in-memory path."""
+        import dataclasses
+        import numpy as np
+        from multiview_tpu.sfm import pipeline as fe
+
+        rng = np.random.default_rng(5)
+        base = rng.uniform(0, 1, (96, 128)).astype(np.float32)
+        imgs = []
+        for i in range(6):
+            im = np.roll(base, shift=3 * i, axis=1)
+            imgs.append(im + rng.normal(0, 0.01, im.shape).astype(np.float32))
+        cfg = fe.FrontendConfig(max_features=200, num_overlaps=2,
+                                num_octaves=2)
+        ts_mem = fe.detect_match_features(imgs, cfg)
+        cfg_ooc = dataclasses.replace(
+            cfg, match_out_of_core=True,
+            matching_working_directory=str(tmp_path / "featcache"),
+            matching_max_num_images_in_cache=2)
+        ts_ooc = fe.detect_match_features(imgs, cfg_ooc)
+        assert len(ts_ooc.tracks) == len(ts_mem.tracks)
+        assert sorted(map(sorted, (t.items() for t in ts_ooc.tracks))) == \
+            sorted(map(sorted, (t.items() for t in ts_mem.tracks)))
+        # spill files exist
+        assert len(list((tmp_path / "featcache").glob("feat_*.npz"))) == 6
