@@ -137,15 +137,15 @@ def run_incremental_sfm(pair_data, num_views: int, track_obs,
     track_uv = np.zeros((num_tracks, MV, 2), float)
     track_slot = np.zeros((num_tracks, MV), bool)
     track_obs_row = np.full((num_tracks, MV), -1, np.int64)  # flat obs index
-    fill = np.zeros(num_tracks, np.int64)
-    for row in order:
-        p = obs_pid[row]
-        k = fill[p]
-        track_cam[p, k] = obs_cam[row]
-        track_uv[p, k] = obs_uv[row]
-        track_slot[p, k] = True
-        track_obs_row[p, k] = row
-        fill[p] = k + 1
+    # vectorized fill: rank of each observation within its track
+    spid = obs_pid[order]
+    first = np.r_[0, np.flatnonzero(np.diff(spid)) + 1]
+    starts = np.repeat(first, np.diff(np.r_[first, len(spid)]))
+    rank = np.arange(len(spid)) - starts
+    track_cam[spid, rank] = obs_cam[order]
+    track_uv[spid, rank] = obs_uv[order]
+    track_slot[spid, rank] = True
+    track_obs_row[spid, rank] = order
     track_cam_j = jnp.asarray(track_cam)
     track_uv_j = jnp.asarray(track_uv, dtype)
 

@@ -95,7 +95,9 @@ def select_pairs(descs: Sequence, valids: Sequence, num_neighbors: int,
     for i in range(n):
         d = np.asarray(descs[i])
         v = np.asarray(valids[i])
-        rows = np.where(v)[0][:per]
+        rows = np.where(v)[0]
+        if len(rows) > per:  # strided, not top-N: unbiased codebook sample
+            rows = rows[:: max(1, len(rows) // per)][:per]
         train.append(d[rows])
         tval.append(np.ones(len(rows), bool))
     cent = kmeans_codebook(jnp.asarray(np.concatenate(train)),

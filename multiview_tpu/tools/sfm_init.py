@@ -39,6 +39,27 @@ def add_args(p: argparse.ArgumentParser):
                    default=5.0, help="INCREMENTAL: theia_flags.txt:114")
 
 
+def _undistort_obs_batched(pix, cam_idx, sensors_of, cam_params):
+    """DISTORTED -> UNDISTORTED_C for all observations, one batched convert
+    per sensor instead of one device dispatch per observation row.
+
+    Returns (und [M,2] np, focal [M] np)."""
+    import jax.numpy as jnp
+    from multiview_tpu.geometry.camera import DISTORTED, UNDISTORTED_C
+
+    pix = np.asarray(pix, float)
+    obs_sensor = np.asarray([sensors_of[c] for c in np.asarray(cam_idx)])
+    und = np.zeros_like(pix)
+    focal = np.zeros(len(pix))
+    for s in np.unique(obs_sensor):
+        rows = np.where(obs_sensor == s)[0]
+        cp = cam_params[int(s)]
+        und[rows] = np.asarray(cp.convert(jnp.asarray(pix[rows]), DISTORTED,
+                                          UNDISTORTED_C))
+        focal[rows] = float(cp.mean_focal)
+    return und, focal
+
+
 def run(args):
     import jax.numpy as jnp
     from multiview_tpu.io import rig_config as rc, nvm as nvm_io
@@ -94,12 +115,9 @@ def run(args):
         # flat unit-plane track observations (normalized by each obs'
         # sensor focal, mirroring the triangulation block below)
         cam_idx_i, _, pix_i, pid_i = tracks_to_arrays(trackset)
-        uv_rows = []
-        for k in range(len(cam_idx_i)):
-            cp = cam_params[sensors_of[cam_idx_i[k]]]
-            u = np.asarray(cp.convert(jnp.asarray(pix_i[k]), DISTORTED,
-                                      UNDISTORTED_C))
-            uv_rows.append(u / float(cp.mean_focal))
+        und_i, focal_i = _undistort_obs_batched(pix_i, cam_idx_i, sensors_of,
+                                                cam_params)
+        uv_i = und_i / focal_i[:, None]
         mean_f = float(np.mean([cp.mean_focal for cp in cam_params]))
         mean_w = float(np.mean([cp.distorted_size[0] for cp in cam_params]))
         thr = (args.absolute_pose_reprojection_error_threshold
@@ -111,8 +129,7 @@ def run(args):
             full_ba_growth_percent=args.full_bundle_adjustment_growth_percent,
             verbose=True)
         poses, reg_mask, _, _ = inc.run_incremental_sfm(
-            pair_data, len(records), (cam_idx_i, pid_i, np.stack(uv_rows)),
-            inc_opts)
+            pair_data, len(records), (cam_idx_i, pid_i, uv_i), inc_opts)
         print(f"Incremental SfM registered {int(reg_mask.sum())}"
               f"/{len(records)} views")
     else:
@@ -150,22 +167,20 @@ def run(args):
 
     # triangulate all tracks with the initial poses
     cam_idx, fid, pix, pid = tracks_to_arrays(trackset)
-    und_rows = []
-    focal_rows = []
-    for k in range(len(cam_idx)):
-        cp = cam_params[sensors_of[cam_idx[k]]]
-        und_rows.append(np.asarray(cp.convert(jnp.asarray(pix[k]), DISTORTED,
-                                              UNDISTORTED_C)))
-        focal_rows.append(float(cp.mean_focal))
-    und = np.stack(und_rows)
+    und, focal_rows = _undistort_obs_batched(pix, cam_idx, sensors_of,
+                                             cam_params)
     P = tri_mod.projection_matrix(jnp.asarray(focal_rows),
                                   jnp.asarray(np.asarray(poses)[cam_idx]))
     n_pts = len(trackset.tracks)
     max_views = max(np.bincount(pid).max(), 2)
     tb = np.full((n_pts, max_views), -1)
-    for k, p in enumerate(pid):
-        row = tb[p]
-        row[np.argmax(row < 0)] = k
+    # vectorized fill: rank of each observation within its track
+    order = np.argsort(pid, kind="stable")
+    spid = np.asarray(pid)[order]
+    first = np.r_[0, np.flatnonzero(np.diff(spid)) + 1]
+    starts = np.repeat(first, np.diff(np.r_[first, len(spid)]))
+    rank = np.arange(len(spid)) - starts
+    tb[spid, rank] = order
     idx = np.maximum(tb, 0)
     valid = tb >= 0
     xyz, _, ok = tri_mod.triangulate_tracks(
