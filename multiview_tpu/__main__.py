@@ -16,15 +16,23 @@ import argparse
 import sys
 
 
-def expand_flagfiles(argv):
-    """gflags-style ``--flagfile=<path>`` expansion (the reference pins its
-    recipes in flagfiles, e.g. theia_flags.txt): each non-empty, non-comment
-    line of the file is inserted as one argument, recursively."""
+def expand_flagfiles(argv, depth: int = 0):
+    """gflags-style flagfile expansion (the reference pins its recipes in
+    flagfiles, e.g. theia_flags.txt): each non-empty, non-comment line of
+    the file is inserted as one argument, recursively. Accepts both
+    ``--flagfile=<path>`` and ``--flagfile <path>``."""
+    if depth > 16:
+        raise ValueError("--flagfile nesting too deep (cycle?)")
     out = []
-    for a in argv:
+    it = iter(argv)
+    for a in it:
         path = None
         if a.startswith("--flagfile="):
             path = a.split("=", 1)[1]
+        elif a == "--flagfile":
+            path = next(it, None)
+            if path is None:
+                raise ValueError("--flagfile requires a path")
         if path is None:
             out.append(a)
             continue
@@ -34,7 +42,7 @@ def expand_flagfiles(argv):
                 line = line.strip()
                 if line and not line.startswith("#"):
                     lines.append(line)
-        out.extend(expand_flagfiles(lines))
+        out.extend(expand_flagfiles(lines, depth + 1))
     return out
 
 

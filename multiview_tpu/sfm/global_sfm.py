@@ -288,12 +288,14 @@ def _pair_track_ranges(x1, x2, R_ij, t_ij, inliers):
 
 
 @jax.jit
-def _essential_ransac_jit(x1, x2, valid):
+def _essential_ransac_jit(x1, x2, valid, threshold=1e-3):
     """Essential RANSAC + cheirality decomposition, compiled once per
-    padded match-count bucket."""
+    padded match-count bucket. ``threshold`` is the Sampson gate in
+    normalized coordinates (a traced value: changing it never recompiles)."""
     from multiview_tpu.sfm import ransac as ransac_mod
 
-    res = ransac_mod.ransac_essential(x1, x2, valid=valid)
+    res = ransac_mod.ransac_essential(x1, x2, valid=valid,
+                                      threshold=threshold)
     R, t = ransac_mod.decompose_essential(res.model, x1, x2, res.inliers)
     return res.model, res.inliers, res.num_inliers, R, t
 

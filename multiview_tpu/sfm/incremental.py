@@ -130,7 +130,7 @@ def run_incremental_sfm(pair_data, num_views: int, track_obs,
     M = len(obs_cam)
 
     # ---- per-track padded view tables (static for the run) ----
-    order = np.argsort(obs_pid, kind="stable")
+    from multiview_tpu.utils.padding import group_ranks
     counts = np.bincount(obs_pid, minlength=num_tracks)
     MV = max(2, int(counts.max()) if len(counts) else 2)
     track_cam = np.zeros((num_tracks, MV), np.int32)
@@ -138,10 +138,7 @@ def run_incremental_sfm(pair_data, num_views: int, track_obs,
     track_slot = np.zeros((num_tracks, MV), bool)
     track_obs_row = np.full((num_tracks, MV), -1, np.int64)  # flat obs index
     # vectorized fill: rank of each observation within its track
-    spid = obs_pid[order]
-    first = np.r_[0, np.flatnonzero(np.diff(spid)) + 1]
-    starts = np.repeat(first, np.diff(np.r_[first, len(spid)]))
-    rank = np.arange(len(spid)) - starts
+    order, spid, rank = group_ranks(obs_pid)
     track_cam[spid, rank] = obs_cam[order]
     track_uv[spid, rank] = obs_uv[order]
     track_slot[spid, rank] = True
@@ -158,7 +155,8 @@ def run_incremental_sfm(pair_data, num_views: int, track_obs,
         x2p = pad_rows_pow2(np.asarray(x2, float))
         vp = pad_rows_pow2(np.ones(len(x1), bool), fill=False)
         _, inl, n_inl, R, t = _essential_ransac_jit(
-            jnp.asarray(x1p), jnp.asarray(x2p), jnp.asarray(vp))
+            jnp.asarray(x1p), jnp.asarray(x2p), jnp.asarray(vp),
+            opts.essential_threshold)
         n_inl = int(n_inl)
         if n_inl < 16:
             continue

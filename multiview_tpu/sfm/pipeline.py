@@ -78,13 +78,13 @@ class FeatureStore:
         return os.path.join(self.dir, f"feat_{idx:06d}.npz")
 
     def put(self, idx: int, kp, desc):
-        np.savez(self._path(idx),
-                 xy=np.asarray(kp.xy), scale=np.asarray(kp.scale),
-                 response=np.asarray(kp.response),
-                 angle=np.asarray(kp.angle), valid=np.asarray(kp.valid),
-                 desc=np.asarray(desc))
+        kp = feat_mod.Keypoints(*(np.asarray(x) for x in kp))
+        desc = np.asarray(desc)
+        np.savez(self._path(idx), xy=kp.xy, scale=kp.scale,
+                 response=kp.response, angle=kp.angle, valid=kp.valid,
+                 desc=desc)
         self.n = max(self.n, idx + 1)
-        self._insert(idx, self._load(idx))
+        self._insert(idx, (kp, desc))
 
     def _load(self, idx: int):
         with np.load(self._path(idx)) as z:
@@ -335,9 +335,14 @@ def detect_match_features(images: Sequence[np.ndarray], cfg: FrontendConfig = Fr
     import jax
 
     store = None
-    if cfg.match_out_of_core and cfg.matching_working_directory:
-        store = FeatureStore(cfg.matching_working_directory,
-                             cfg.matching_max_num_images_in_cache)
+    if cfg.match_out_of_core:
+        workdir = cfg.matching_working_directory
+        if not workdir:
+            import tempfile
+            workdir = tempfile.mkdtemp(prefix="mv_features_")
+            print(f"match_out_of_core: no matching_working_directory set, "
+                  f"spilling features to {workdir}")
+        store = FeatureStore(workdir, cfg.matching_max_num_images_in_cache)
     kps, descs = detect_all(images, cfg, store=store)
     n = len(images)
     if cfg.retrieval_neighbors > 0:

@@ -105,13 +105,16 @@ def select_pairs(descs: Sequence, valids: Sequence, num_neighbors: int,
                            k=num_clusters, seed=seed)
     # pass 2: VLAD per chunk of images -> small [N, C*D] global matrix
     gs = []
-    chunk = 64
+    chunk = min(64, n)
     for c0 in range(0, n, chunk):
-        dchunk = jnp.stack([jnp.asarray(descs[i])
-                            for i in range(c0, min(c0 + chunk, n))])
-        vchunk = jnp.stack([jnp.asarray(valids[i])
-                            for i in range(c0, min(c0 + chunk, n))])
-        gs.append(np.asarray(vlad_descriptors(dchunk, vchunk, cent)))
+        sel = list(range(c0, min(c0 + chunk, n)))
+        # pad the last chunk by repeating its first image: one compiled
+        # vlad_descriptors executable per chunk size (compile hygiene)
+        padded = sel + [sel[0]] * (chunk - len(sel))
+        dchunk = jnp.stack([jnp.asarray(descs[i]) for i in padded])
+        vchunk = jnp.stack([jnp.asarray(valids[i]) for i in padded])
+        gs.append(np.asarray(vlad_descriptors(dchunk, vchunk,
+                                              cent))[:len(sel)])
     g = jnp.asarray(np.concatenate(gs))
     sim = np.array(g @ g.T)                                 # one MXU matmul
     np.fill_diagonal(sim, -np.inf)

@@ -148,3 +148,17 @@ def tracks_to_arrays(ts: TrackSet):
             pid_arr.append(pid)
     return (np.asarray(cam_idx, np.int32), np.asarray(fid_arr, np.int32),
             np.asarray(pix, float), np.asarray(pid_arr, np.int32))
+
+
+def subset_views(ts: TrackSet, keep) -> TrackSet:
+    """Restrict a TrackSet to a subset of views (e.g. the views incremental
+    SfM actually registered): keypoints are re-indexed to the new cid order
+    and tracks drop unkept views (tracks left with <2 views are removed)."""
+    remap = {int(old): new for new, old in enumerate(keep)}
+    kps = [ts.keypoints[int(c)] for c in keep]
+    tracks = []
+    for t in ts.tracks:
+        nt = {remap[c]: f for c, f in t.items() if c in remap}
+        if len(nt) >= 2:
+            tracks.append(nt)
+    return TrackSet(kps, tracks)

@@ -132,6 +132,18 @@ def run(args):
             pair_data, len(records), (cam_idx_i, pid_i, uv_i), inc_opts)
         print(f"Incremental SfM registered {int(reg_mask.sum())}"
               f"/{len(records)} views")
+        if int(reg_mask.sum()) < len(records):
+            # unregistered views have no pose: drop them from the output
+            # reconstruction (Theia likewise exports only estimated views)
+            from multiview_tpu.sfm.tracks import subset_views
+            dropped = [records[i].name for i in range(len(records))
+                       if not reg_mask[i]]
+            print(f"Warning: dropping unregistered view(s): {dropped}")
+            keep = [i for i in range(len(records)) if reg_mask[i]]
+            records = [records[i] for i in keep]
+            sensors_of = [sensors_of[i] for i in keep]
+            trackset = subset_views(trackset, keep)
+            poses = jnp.asarray(np.asarray(poses)[keep])
     else:
         poses = global_sfm.run_global_sfm(pair_data, len(records),
                                           pair_pids=pair_pids)
@@ -175,11 +187,8 @@ def run(args):
     max_views = max(np.bincount(pid).max(), 2)
     tb = np.full((n_pts, max_views), -1)
     # vectorized fill: rank of each observation within its track
-    order = np.argsort(pid, kind="stable")
-    spid = np.asarray(pid)[order]
-    first = np.r_[0, np.flatnonzero(np.diff(spid)) + 1]
-    starts = np.repeat(first, np.diff(np.r_[first, len(spid)]))
-    rank = np.arange(len(spid)) - starts
+    from multiview_tpu.utils.padding import group_ranks
+    order, spid, rank = group_ranks(pid)
     tb[spid, rank] = order
     idx = np.maximum(tb, 0)
     valid = tb >= 0

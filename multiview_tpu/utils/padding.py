@@ -27,3 +27,23 @@ def pad_rows_pow2(arr: np.ndarray, fill=0) -> np.ndarray:
     out = np.full((nb,) + arr.shape[1:], fill, arr.dtype)
     out[:arr.shape[0]] = arr
     return out
+
+
+def group_ranks(ids: "np.ndarray"):
+    """Rank of each element within its group, plus the stable order that
+    sorts by group: returns (order, sorted_ids, rank) with
+    ``rank[k]`` = position of ``order[k]`` among its group's members.
+
+    The vectorized core of building padded per-group tables
+    (``table[sorted_ids, rank] = values[order]``)."""
+    import numpy as np
+
+    ids = np.asarray(ids)
+    order = np.argsort(ids, kind="stable")
+    sids = ids[order]
+    if len(sids) == 0:
+        return order, sids, np.zeros(0, np.int64)
+    first = np.r_[0, np.flatnonzero(np.diff(sids)) + 1]
+    starts = np.repeat(first, np.diff(np.r_[first, len(sids)]))
+    rank = np.arange(len(sids)) - starts
+    return order, sids, rank

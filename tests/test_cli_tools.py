@@ -619,3 +619,11 @@ class TestFlagfile:
             "--out_dir", str(out), f"--flagfile={ff}"])
         assert ret == 0
         assert (out / "cameras.nvm").exists()
+        # two-token form too
+        out2 = tmp_path / "sfm_ff2"
+        ret = cli_main([
+            "sfm-init", "--rig_config", str(workspace / "rig_config.txt"),
+            "--images", str(workspace / "images"),
+            "--out_dir", str(out2), "--flagfile", str(ff)])
+        assert ret == 0
+        assert (out2 / "cameras.nvm").exists()
