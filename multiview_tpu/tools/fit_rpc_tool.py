@@ -13,9 +13,14 @@ import numpy as np
 
 
 def add_args(p: argparse.ArgumentParser):
-    p.add_argument("--rig_config", required=True)
+    p.add_argument("--rig_config", "--camera_config", dest="rig_config",
+                   required=True,
+                   help="rig configuration (the reference fit_rpc's "
+                        "--camera_config, fit_rpc.cc:73)")
     p.add_argument("--out_dir", required=True)
     p.add_argument("--rpc_degree", type=int, default=2)
+    p.add_argument("--verbose", action="store_true",
+                   help="print per-degree fit progress (fit_rpc.cc:79)")
     p.add_argument("--num_samples", type=int, default=100)
     p.add_argument("--num_iterations", type=int, default=50)
     p.add_argument("--parameter_tolerance", type=float, default=1e-12)
@@ -44,6 +49,9 @@ def run(args):
         err = rpc_fit.eval_rpc_dist_undist(cam, coeffs,
                                            num_samples=args.num_samples)
         print(f"Max distort_undistort error: {err}")
+        if args.verbose:
+            print(f"  {s.name} rpc coefficients ({len(coeffs)}): "
+                  f"{np.array2string(np.asarray(coeffs), precision=6)}")
         s.distortion = np.asarray(coeffs)
     out = Path(args.out_dir)
     rc.write_rig_config(out / "rig_config.txt", rig)
