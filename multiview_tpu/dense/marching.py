@@ -63,63 +63,75 @@ def extract_mesh(grid: TsdfGrid, min_weight: float = 1e-6
     tsdf = grid.tsdf
     X, Y, Z = tsdf.shape
     dtype = tsdf.dtype
+    Xc, Yc, Zc = X - 1, Y - 1, Z - 1
 
-    # corner value gathers: [X-1,Y-1,Z-1,8]
+    # LAYOUT NOTE: all device intermediates keep the (large) voxel dims as
+    # the two minor-most axes and the small structural dims (tet, triangle,
+    # vertex, coordinate) leading. TPU tiling pads only the last two dims
+    # to (8,128); a trailing (...,2,3) shape would be padded ~40x and OOM
+    # on real volumes (observed: a 467 MB logical array allocated 19.9 GB).
+
+    # corner value gathers: [8, Xc, Yc, Zc]
     def corner_slab(arr):
         slabs = []
         for dx, dy, dz in _CORNERS:
-            slabs.append(arr[dx:X - 1 + dx, dy:Y - 1 + dy, dz:Z - 1 + dz])
-        return jnp.stack(slabs, axis=-1)
+            slabs.append(arr[dx:Xc + dx, dy:Yc + dy, dz:Zc + dz])
+        return jnp.stack(slabs, axis=0)
 
     vals = corner_slab(tsdf)
     wts = corner_slab(grid.weight)
     inten = corner_slab(grid.intensity)
-    observed = jnp.all(wts >= min_weight, axis=-1)
+    observed = jnp.all(wts >= min_weight, axis=0)              # [Xc,Yc,Zc]
 
-    # world positions of the 8 corners of each cell
-    ii, jj, kk = jnp.meshgrid(jnp.arange(X - 1), jnp.arange(Y - 1),
-                              jnp.arange(Z - 1), indexing="ij")
-    base = jnp.stack([ii, jj, kk], axis=-1).astype(dtype)      # [.,.,.,3]
+    # world positions of the 8 corners of each cell: [8, 3, Xc, Yc, Zc]
+    ii, jj, kk = jnp.meshgrid(jnp.arange(Xc), jnp.arange(Yc),
+                              jnp.arange(Zc), indexing="ij")
+    base = jnp.stack([ii, jj, kk], axis=0).astype(dtype)       # [3,.,.,.]
     corners_off = jnp.asarray(_CORNERS, dtype)                 # [8,3]
-    pos = (base[..., None, :] + corners_off + 0.5) * grid.voxel_size + grid.origin
+    pos = ((base[None] + corners_off[:, :, None, None, None] + 0.5)
+           * grid.voxel_size + jnp.asarray(grid.origin,
+                                           dtype)[None, :, None, None, None])
 
-    # per-tet processing
-    tet_vals = vals[..., _TETS]            # [.,.,.,6,4]
-    tet_pos = pos[..., _TETS, :]           # [.,.,.,6,4,3]
-    tet_int = inten[..., _TETS]
+    # per-tet processing (leading-axis gathers)
+    tet_vals = vals[_TETS]                 # [6,4,Xc,Yc,Zc]
+    tet_pos = pos[_TETS]                   # [6,4,3,Xc,Yc,Zc]
+    tet_int = inten[_TETS]                 # [6,4,Xc,Yc,Zc]
 
     inside = (tet_vals < 0.0).astype(jnp.int32)
-    case = (inside[..., 0] + 2 * inside[..., 1] + 4 * inside[..., 2]
-            + 8 * inside[..., 3])          # [.,.,.,6]
+    case = (inside[:, 0] + 2 * inside[:, 1] + 4 * inside[:, 2]
+            + 8 * inside[:, 3])            # [6,Xc,Yc,Zc]
 
-    # edge interpolation for all 6 tet edges: [.,.,.,6tet,6edge,3]
+    # edge interpolation for all 6 tet edges
     e0 = _TET_EDGES[:, 0]
     e1 = _TET_EDGES[:, 1]
-    va = tet_vals[..., e0]
-    vb = tet_vals[..., e1]
+    va = tet_vals[:, e0]                   # [6,6,Xc,Yc,Zc]
+    vb = tet_vals[:, e1]
     denom = va - vb
     t = va / jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
     t = jnp.clip(t, 0.0, 1.0)
-    pa = tet_pos[..., e0, :]
-    pb = tet_pos[..., e1, :]
-    ev = pa + t[..., None] * (pb - pa)     # edge vertices
-    ia = tet_int[..., e0]
-    ib = tet_int[..., e1]
-    eint = ia + t * (ib - ia)
+    pa = tet_pos[:, e0]                    # [6,6,3,Xc,Yc,Zc]
+    pb = tet_pos[:, e1]
+    ev = pa + t[:, :, None] * (pb - pa)    # edge vertices [6,6,3,.,.,.]
+    ia = tet_int[:, e0]
+    ib = tet_int[:, e1]
+    eint = ia + t * (ib - ia)              # [6,6,Xc,Yc,Zc]
 
-    tri_edges = jnp.asarray(_TRI_TABLE)[case]   # [.,.,.,6,2,3] edge ids or -1
-    tri_valid = (tri_edges[..., 0] >= 0) & observed[..., None, None]
+    # case -> triangle edge ids: [6,2,3,Xc,Yc,Zc]
+    tri_edges = jnp.moveaxis(jnp.asarray(_TRI_TABLE)[case], (-2, -1), (1, 2))
+    tri_valid = (tri_edges[:, :, 0] >= 0) & observed[None, None]  # [6,2,.,.,.]
 
-    safe_edges = jnp.maximum(tri_edges, 0)
-    # gather triangle vertices: [.,.,.,6,2,3tri_vert,3coord]
-    tri_verts = jnp.take_along_axis(
-        ev[..., None, :, :], safe_edges[..., :, :, None], axis=-2)
-    tri_int = jnp.take_along_axis(eint[..., None, :], safe_edges, axis=-1)
+    safe_edges = jnp.maximum(tri_edges, 0).reshape(6, 6, Xc, Yc, Zc)
+    # gather triangle vertices along the edge axis: [6,6(2*3),3,Xc,Yc,Zc]
+    idx = jnp.broadcast_to(safe_edges[:, :, None], (6, 6, 3, Xc, Yc, Zc))
+    tri_verts = jnp.take_along_axis(ev, idx, axis=1)
+    tri_int = jnp.take_along_axis(eint, safe_edges, axis=1)
 
-    # compact on host
-    tv = np.asarray(tri_verts).reshape(-1, 3, 3)
-    ti = np.asarray(tri_int).reshape(-1, 3)
-    mask = np.asarray(tri_valid).reshape(-1)
+    # compact on host: reorder to [...cells..., 3vert, 3coord]
+    tv = np.moveaxis(np.asarray(tri_verts).reshape(6, 2, 3, 3, Xc, Yc, Zc),
+                     (2, 3), (5, 6)).reshape(-1, 3, 3)
+    ti = np.moveaxis(np.asarray(tri_int).reshape(6, 2, 3, Xc, Yc, Zc),
+                     2, 5).reshape(-1, 3)
+    mask = np.asarray(tri_valid).reshape(-1)   # (tet,tri,x,y,z) order = tv's
     tv = tv[mask]
     ti = ti[mask]
 

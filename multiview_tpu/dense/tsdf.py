@@ -87,12 +87,25 @@ def integrate_depth_image(grid: TsdfGrid, depth: jnp.ndarray, focal, center,
     """
     H, W = depth.shape
     dtype = grid.tsdf.dtype
-    centers = voxel_centers(grid)                      # [X,Y,Z,3]
+    X, Y, Z = grid.shape
     w2c = pose_mod.pose_inverse(jnp.asarray(cam_to_world_pose, dtype))
-    Xc = pose_mod.pose_apply(w2c, centers)             # [X,Y,Z,3]
-    z = Xc[..., 2]
-    u = Xc[..., 0] / jnp.where(z > 1e-6, z, 1.0) * focal[0] + center[0]
-    v = Xc[..., 1] / jnp.where(z > 1e-6, z, 1.0) * focal[1] + center[1]
+    # Separable voxel-center projection: three [X,Y,Z] component arrays via
+    # per-axis broadcasts instead of one [X,Y,Z,3] tensor — a trailing dim
+    # of 3 is tiled to 128 on TPU (~40x HBM waste at real volume sizes).
+    R = pose_mod.quat_to_matrix(pose_mod.pose_q(w2c))
+    t = pose_mod.pose_t(w2c)
+    xw = grid.origin[0] + (jnp.arange(X, dtype=dtype) + 0.5) * grid.voxel_size
+    yw = grid.origin[1] + (jnp.arange(Y, dtype=dtype) + 0.5) * grid.voxel_size
+    zw = grid.origin[2] + (jnp.arange(Z, dtype=dtype) + 0.5) * grid.voxel_size
+
+    def cam_coord(i):
+        return (R[i, 0] * xw[:, None, None] + R[i, 1] * yw[None, :, None]
+                + R[i, 2] * zw[None, None, :] + t[i])
+
+    z = cam_coord(2)
+    zsafe = jnp.where(z > 1e-6, z, 1.0)
+    u = cam_coord(0) / zsafe * focal[0] + center[0]
+    v = cam_coord(1) / zsafe * focal[1] + center[1]
     ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, W - 1)
     vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, H - 1)
     in_img = (u >= 0) & (u <= W - 1) & (v >= 0) & (v <= H - 1) & (z > 1e-6)
