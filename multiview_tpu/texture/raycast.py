@@ -6,7 +6,9 @@ occlusion tests inside projectTexture). A BVH is branchy pointer-chasing —
 the TPU-native shape is brute-force Möller-Trumbore over [rays x triangles]
 tiles: dense, regular, VPU-saturating, and for the mesh sizes the reference
 handles (~10^5 faces) a few Gops per thousand rays — microseconds of TPU
-time. Chunked over triangles to bound memory.
+time. Double-chunked (sequential over ray blocks AND triangle blocks) so
+the live [ray_chunk x tri_chunk] tiles bound HBM no matter how many rays
+or faces the caller throws at it.
 """
 
 from __future__ import annotations
@@ -19,15 +21,19 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
+@functools.partial(jax.jit, static_argnames=("chunk", "ray_chunk"))
 def ray_mesh_intersect(origins, dirs, tri_verts, min_dist: float = 0.0,
-                       max_dist: float = 100.0, chunk: int = 2048):
+                       max_dist: float = 100.0, chunk: int = 2048,
+                       ray_chunk: int = 16384):
     """Nearest intersection of each ray with a triangle soup.
 
     origins, dirs: [R,3] (dirs need not be unit). tri_verts: [T,3,3].
     Returns (t [R], tri_idx [R] int32, hit [R] bool); t in units of |dirs|.
     Mirrors the semantics of the reference's ray_mesh_intersect with its
     [min_dist, max_dist] search window (texture_processing.cc:1436-1479).
+
+    Peak HBM is O(ray_chunk * chunk) regardless of R and T (a full
+    [R, chunk] batch at R~5e5 was measured at ~24 GB of intermediates).
     """
     R = origins.shape[0]
     T = tri_verts.shape[0]
@@ -39,34 +45,50 @@ def ray_mesh_intersect(origins, dirs, tri_verts, min_dist: float = 0.0,
         [tri_verts, jnp.full((pad_T, 3, 3), 1e30, dtype)]) if pad_T else tri_verts
     n_chunks = tv.shape[0] // chunk
 
-    def body(c, carry):
-        best_t, best_i = carry
-        tri = jax.lax.dynamic_slice_in_dim(tv, c * chunk, chunk)  # [C,3,3]
-        v0 = tri[:, 0]
-        e1 = tri[:, 1] - v0
-        e2 = tri[:, 2] - v0
-        # Moller-Trumbore, broadcast [R,1,3] x [1,C,3]
-        pvec = jnp.cross(dirs[:, None, :], e2[None, :, :])        # [R,C,3]
-        det = jnp.sum(pvec * e1[None], axis=-1)                   # [R,C]
-        inv_det = jnp.where(jnp.abs(det) > eps, 1.0 / det, 0.0)
-        tvec = origins[:, None, :] - v0[None]
-        u = jnp.sum(tvec * pvec, axis=-1) * inv_det
-        qvec = jnp.cross(tvec, e1[None, :, :])
-        v = jnp.sum(qvec * dirs[:, None, :], axis=-1) * inv_det
-        t = jnp.sum(qvec * e2[None], axis=-1) * inv_det
-        ok = ((jnp.abs(det) > eps) & (u >= 0) & (v >= 0) & (u + v <= 1)
-              & (t >= min_dist) & (t <= max_dist))
-        t = jnp.where(ok, t, jnp.inf)
-        ci = jnp.argmin(t, axis=-1)
-        ct = t[jnp.arange(R), ci]
-        better = ct < best_t
-        best_i = jnp.where(better, (c * chunk + ci).astype(jnp.int32), best_i)
-        best_t = jnp.minimum(best_t, ct)
-        return best_t, best_i
+    rc = min(ray_chunk, max(R, 1))
+    pad_R = (-R) % rc
+    o_all = jnp.concatenate([origins, jnp.zeros((pad_R, 3), dtype)]) \
+        if pad_R else origins
+    d_all = jnp.concatenate([dirs, jnp.ones((pad_R, 3), dtype)]) \
+        if pad_R else dirs
+    o_all = o_all.reshape(-1, rc, 3)
+    d_all = d_all.reshape(-1, rc, 3)
 
-    best_t = jnp.full(R, jnp.inf, dtype)
-    best_i = jnp.full(R, -1, jnp.int32)
-    best_t, best_i = jax.lax.fori_loop(0, n_chunks, body, (best_t, best_i))
+    def one_ray_block(od):
+        o, d = od
+
+        def body(c, carry):
+            best_t, best_i = carry
+            tri = jax.lax.dynamic_slice_in_dim(tv, c * chunk, chunk)  # [C,3,3]
+            v0 = tri[:, 0]
+            e1 = tri[:, 1] - v0
+            e2 = tri[:, 2] - v0
+            # Moller-Trumbore, broadcast [rc,1,3] x [1,C,3]
+            pvec = jnp.cross(d[:, None, :], e2[None, :, :])           # [rc,C,3]
+            det = jnp.sum(pvec * e1[None], axis=-1)                   # [rc,C]
+            inv_det = jnp.where(jnp.abs(det) > eps, 1.0 / det, 0.0)
+            tvec = o[:, None, :] - v0[None]
+            u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+            qvec = jnp.cross(tvec, e1[None, :, :])
+            v = jnp.sum(qvec * d[:, None, :], axis=-1) * inv_det
+            t = jnp.sum(qvec * e2[None], axis=-1) * inv_det
+            ok = ((jnp.abs(det) > eps) & (u >= 0) & (v >= 0) & (u + v <= 1)
+                  & (t >= min_dist) & (t <= max_dist))
+            t = jnp.where(ok, t, jnp.inf)
+            ci = jnp.argmin(t, axis=-1)
+            ct = t[jnp.arange(rc), ci]
+            better = ct < best_t
+            best_i = jnp.where(better, (c * chunk + ci).astype(jnp.int32),
+                               best_i)
+            best_t = jnp.minimum(best_t, ct)
+            return best_t, best_i
+
+        init = (jnp.full(rc, jnp.inf, dtype), jnp.full(rc, -1, jnp.int32))
+        return jax.lax.fori_loop(0, n_chunks, body, init)
+
+    best_t, best_i = jax.lax.map(one_ray_block, (o_all, d_all))
+    best_t = best_t.reshape(-1)[:R]
+    best_i = best_i.reshape(-1)[:R]
     hit = jnp.isfinite(best_t)
     return jnp.where(hit, best_t, 0.0), best_i, hit
 
