@@ -22,4 +22,36 @@ uses jax.sharding meshes with psum/all_gather collectives.
 
 __version__ = "0.1.0"
 
+
+def _enable_persistent_compile_cache():
+    """Point JAX's persistent compilation cache at a local directory unless
+    the user configured one. Cold-process pipeline runs stack many one-time
+    XLA compiles (each a multi-second round-trip through the remote-compile
+    tunnel on this TPU setup); with the cache, a rerun loads every
+    executable it has seen before. Set MULTIVIEW_TPU_NO_COMPILE_CACHE=1 to
+    opt out."""
+    import os
+
+    if os.environ.get("MULTIVIEW_TPU_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        if (jax.config.jax_compilation_cache_dir is None
+                and not os.environ.get("JAX_COMPILATION_CACHE_DIR")):
+            path = os.environ.get(
+                "MULTIVIEW_TPU_COMPILE_CACHE",
+                os.path.expanduser("~/.cache/multiview_tpu/xla"))
+            os.makedirs(path, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", path)
+            # through the remote-compile tunnel even sub-second executables
+            # cost seconds of round-trip, so cache everything
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              0.0)
+    except Exception:
+        pass  # caching is an optimization; never block import
+
+
+_enable_persistent_compile_cache()
+
 from multiview_tpu.geometry import pose, distortion, camera, triangulation, registration  # noqa: F401
