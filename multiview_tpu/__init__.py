@@ -23,6 +23,22 @@ uses jax.sharding meshes with psum/all_gather collectives.
 __version__ = "0.1.0"
 
 
+def _host_fingerprint() -> str:
+    """Short stable id of this host's CPU ISA (hash of /proc/cpuinfo flags)."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.md5(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.md5(platform.processor().encode()).hexdigest()[:12]
+
+
 def _enable_persistent_compile_cache():
     """Point JAX's persistent compilation cache at a local directory unless
     the user configured one. Cold-process pipeline runs stack many one-time
@@ -39,9 +55,16 @@ def _enable_persistent_compile_cache():
 
         if (jax.config.jax_compilation_cache_dir is None
                 and not os.environ.get("JAX_COMPILATION_CACHE_DIR")):
-            path = os.environ.get(
+            base = os.environ.get(
                 "MULTIVIEW_TPU_COMPILE_CACHE",
                 os.path.expanduser("~/.cache/multiview_tpu/xla"))
+            # Key the cache by a host-CPU fingerprint: XLA:CPU AOT results
+            # encode the compile machine's ISA features, and loading one on
+            # a different host can SIGILL. One subdirectory per machine
+            # type keeps cross-host cache dirs (shared volumes, driver
+            # rounds on heterogeneous hosts) safe; TPU executables just
+            # recompile once per new host.
+            path = os.path.join(base, _host_fingerprint())
             os.makedirs(path, exist_ok=True)
             jax.config.update("jax_compilation_cache_dir", path)
             # through the remote-compile tunnel even sub-second executables
