@@ -449,13 +449,61 @@ def rel_dir_to_world(graph: ViewGraph, rotations: jnp.ndarray) -> ViewGraph:
     return graph._replace(rel_dir=d_world)
 
 
+def largest_component_views(pair_data, num_views: int) -> np.ndarray:
+    """Boolean [V] membership mask of the largest connected component of the
+    view graph (host union-find). Views with no edges form singletons."""
+    from multiview_tpu import native
+
+    edges = np.asarray([k for k in pair_data.keys()], np.int64)
+    if len(edges) == 0:
+        out = np.zeros(num_views, bool)
+        out[:1] = True
+        return out
+    roots = native.union_find_roots(num_views, edges)
+    vals, counts = np.unique(roots, return_counts=True)
+    # among components that have edges, pick the largest
+    has_edge = np.zeros(num_views, bool)
+    has_edge[edges.reshape(-1)] = True
+    sizes = {int(v): int(c) for v, c in zip(vals, counts)}
+    best = max((r for r in vals if has_edge[int(r)] or sizes[int(r)] > 1),
+               key=lambda r: sizes[int(r)], default=int(roots[0]))
+    return roots == best
+
+
 def run_global_sfm(pair_data, num_views: int, dtype=jnp.float64,
-                   pair_pids=None) -> jnp.ndarray:
+                   pair_pids=None, return_mask: bool = False):
     """pair correspondences -> initial world->cam poses [V,7] (up to scale).
 
     With ``pair_pids`` (track ids per pair correspondence), per-edge baseline
     scales are recovered from shared-track range ratios and positions come
-    from full baseline vectors — robust to collinear trajectories."""
+    from full baseline vectors — robust to collinear trajectories.
+
+    A disconnected view graph is reconstructed on its largest connected
+    component (Theia likewise estimates and exports only the views it can
+    register; views outside the component get identity poses and a False
+    entry in the mask). With ``return_mask`` returns (poses [V,7],
+    registered [V] bool)."""
+    member = largest_component_views(pair_data, num_views)
+    if not member.all():
+        import sys
+        print(f"Warning: view graph is disconnected; reconstructing the "
+              f"largest connected component ({int(member.sum())}/{num_views} "
+              f"views)", file=sys.stderr)
+        remap = -np.ones(num_views, np.int64)
+        remap[member] = np.arange(int(member.sum()))
+        sub_pairs = {(int(remap[i]), int(remap[j])): v
+                     for (i, j), v in pair_data.items() if member[i]}
+        sub_pids = None
+        if pair_pids is not None:
+            sub_pids = {(int(remap[i]), int(remap[j])): v
+                        for (i, j), v in pair_pids.items() if member[i]}
+        sub = run_global_sfm(sub_pairs, int(member.sum()), dtype,
+                             pair_pids=sub_pids)
+        poses = np.tile(np.array([0, 0, 0, 0, 0, 0, 1.0]), (num_views, 1))
+        poses[member] = np.asarray(sub)
+        poses = jnp.asarray(poses)
+        return (poses, member) if return_mask else poses
+
     ranges = None
     if pair_pids is not None:
         graph, ranges = view_graph_from_matches(pair_data, num_views, dtype,
@@ -476,4 +524,7 @@ def run_global_sfm(pair_data, num_views: int, dtype=jnp.float64,
     else:
         c = position_estimation(graph, q, num_views)
     t = -pose_mod.quat_rotate(q, c)
-    return pose_mod.make_pose(t, q)
+    poses = pose_mod.make_pose(t, q)
+    if return_mask:
+        return poses, np.ones(num_views, bool)
+    return poses

@@ -132,21 +132,23 @@ def run(args):
             pair_data, len(records), (cam_idx_i, pid_i, uv_i), inc_opts)
         print(f"Incremental SfM registered {int(reg_mask.sum())}"
               f"/{len(records)} views")
-        if int(reg_mask.sum()) < len(records):
-            # unregistered views have no pose: drop them from the output
-            # reconstruction (Theia likewise exports only estimated views)
-            from multiview_tpu.sfm.tracks import subset_views
-            dropped = [records[i].name for i in range(len(records))
-                       if not reg_mask[i]]
-            print(f"Warning: dropping unregistered view(s): {dropped}")
-            keep = [i for i in range(len(records)) if reg_mask[i]]
-            records = [records[i] for i in keep]
-            sensors_of = [sensors_of[i] for i in keep]
-            trackset = subset_views(trackset, keep)
-            poses = jnp.asarray(np.asarray(poses)[keep])
     else:
-        poses = global_sfm.run_global_sfm(pair_data, len(records),
-                                          pair_pids=pair_pids)
+        poses, reg_mask = global_sfm.run_global_sfm(
+            pair_data, len(records), pair_pids=pair_pids, return_mask=True)
+
+    if int(reg_mask.sum()) < len(records):
+        # unregistered views (incremental: PnP failed; global: outside the
+        # largest connected component) have no pose: drop them from the
+        # output reconstruction (Theia likewise exports only estimated views)
+        from multiview_tpu.sfm.tracks import subset_views
+        dropped = [records[i].name for i in range(len(records))
+                   if not reg_mask[i]]
+        print(f"Warning: dropping unregistered view(s): {dropped}")
+        keep = [i for i in range(len(records)) if reg_mask[i]]
+        records = [records[i] for i in keep]
+        sensors_of = [sensors_of[i] for i in keep]
+        trackset = subset_views(trackset, keep)
+        poses = jnp.asarray(np.asarray(poses)[keep])
 
     # ---- robust BA refinement (TheiaSfM runs a full Huber BA after global
     # init, theia_flags.txt:26-165 — essential here: direction-only position

@@ -125,6 +125,35 @@ class TestFullPipeline:
         ate = np.sqrt(np.mean(np.sum((aligned - ctr_true) ** 2, -1)))
         assert ate < 0.02, f"ATE {ate}"
 
+    def test_disconnected_graph_largest_component(self):
+        """A view graph with two disjoint clusters reconstructs the larger
+        one and flags the rest unregistered (Theia exports only estimated
+        views; no crash)."""
+        n_views = 8
+        w2c = syn.ring_poses(n_views, radius=3.0)
+        pts = syn.cube_points(5) * 2.0
+        pair_data = {}
+        # edges only within {0..4} and within {5..7}: disconnected
+        for i in range(n_views):
+            for j in (i + 1, i + 2):
+                if j >= n_views or (i < 5) != (j < 5):
+                    continue
+                Xi = np.asarray(P.pose_apply(jnp.asarray(w2c[i]), jnp.asarray(pts)))
+                Xj = np.asarray(P.pose_apply(jnp.asarray(w2c[j]), jnp.asarray(pts)))
+                vis = (Xi[:, 2] > 0.1) & (Xj[:, 2] > 0.1)
+                if vis.sum() >= 16:
+                    pair_data[(i, j)] = (Xi[vis, :2] / Xi[vis, 2:],
+                                         Xj[vis, :2] / Xj[vis, 2:])
+        poses, mask = g.run_global_sfm(pair_data, n_views, return_mask=True)
+        assert mask.tolist() == [True] * 5 + [False] * 3
+        ctr_true = np.asarray(P.pose_t(P.pose_inverse(jnp.asarray(w2c[:5]))))
+        ctr_est = np.asarray(P.pose_t(P.pose_inverse(poses[:5])))
+        scale, T = reg.find_similarity_transform(jnp.asarray(ctr_est),
+                                                 jnp.asarray(ctr_true))
+        aligned = np.asarray(reg.apply_similarity(scale, T, jnp.asarray(ctr_est)))
+        ate = np.sqrt(np.mean(np.sum((aligned - ctr_true) ** 2, -1)))
+        assert ate < 0.05, f"component ATE {ate}"
+
     def test_noisy_correspondences(self):
         """Regression: measurement noise must not flip baseline directions
         (the cheirality depth-sign bug) nor blow up E estimates (inlier
