@@ -613,15 +613,22 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
                     return gc.at[:num_ref * 7].add(gpose.reshape(-1))
 
                 def Jmv(xc, xp):
+                    """J @ (xc, xp). Pass xc=None / xp=None to statically
+                    skip that side (a zeros argument would still stream the
+                    full [N,k,B] block tensors through the einsums — XLA
+                    cannot DCE a runtime-zero operand)."""
                     parts = []
                     for (j_cam, cols, j_pt, pidx), meta in zip(fams, metas):
                         u = None
-                        if j_cam is not None:
+                        if j_cam is not None and xc is not None:
                             u = jnp.einsum("nkb,nb->nk", j_cam,
                                            xr_of(j_cam, meta, xc))
-                        if j_pt is not None:
+                        if j_pt is not None and xp is not None:
                             up = jnp.einsum("nkj,nj->nk", j_pt, xp[pidx])
                             u = up if u is None else u + up
+                        if u is None:
+                            blk = j_cam if j_cam is not None else j_pt
+                            u = jnp.zeros(blk.shape[:2], dtype)
                         parts.append(u.reshape(-1))
                     return jnp.concatenate(parts)
 
@@ -769,17 +776,22 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
                 gc0, _ = JTu(Jx(zero_c, w0))
                 rhs = -(g_c - gc0 * cam_free)
             else:
+                # blocks mode skips the zero side statically (None); the
+                # jvp/vjp closures need real zero arrays
+                zc = None if use_blocks else zero_c
+                zp = None if use_blocks else zero_p
+
                 def schur_mv(x):
-                    u = Jmv(x * cam_free, zero_p)
+                    u = Jmv(x * cam_free, zp)
                     _, v = JTmv(u)
                     w = batched_solve3(hpp_damped, v)
-                    z = Jmv(zero_c, w)
+                    z = Jmv(zc, w)
                     gc, _ = JTmv(u - z)
                     return gc * cam_free + dc * x
 
                 # rhs = -(g_c - E Hpp^-1 g_p)
                 w0 = batched_solve3(hpp_damped, g_p)
-                gc0, _ = JTmv(Jmv(zero_c, w0))
+                gc0, _ = JTmv(Jmv(zc, w0))
                 rhs = -(g_c - gc0 * cam_free)
 
             def dense_schur_solve(rhs):
@@ -847,7 +859,7 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
                 dc_step, cg_k = cg(rhs)
 
             # back-substitute points: dp = Hpp^-1 (-g_p - Jp^T Jc dc)
-            u = Jmv(dc_step * cam_free, zero_p)
+            u = Jmv(dc_step * cam_free, None if use_blocks else zero_p)
             _, v = JTmv(u)
             dp = batched_solve3(hpp_damped, -g_p - v)
 
