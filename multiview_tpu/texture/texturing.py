@@ -78,16 +78,26 @@ def view_costs(vertices, faces, world_to_cam_poses, occlusion: bool = True,
 
     if occlusion:
         # ray from just-off-surface face center toward each camera; if the
-        # mesh is hit before the camera, the view is occluded
+        # mesh is hit before the camera, the view is occluded. Only entries
+        # that already pass the geometric gates are cast (host compaction;
+        # typically halves the ray count — the raycast dominates this stage)
         F, V = dist.shape
         tri_soup = vertices[faces]
-        origins = jnp.broadcast_to(
-            ctr[:, None, :] + 1e-4 * normal[:, None, :], (F, V, 3)).reshape(-1, 3)
-        dirs = dir_to_cam.reshape(-1, 3)
-        t, _, hit = raycast.ray_mesh_intersect(origins, dirs, tri_soup,
-                                               min_dist=1e-3, max_dist=max_dist)
-        blocked = hit.reshape(F, V) & (t.reshape(F, V) < dist - 1e-3)
-        usable = usable & ~blocked
+        # host-side gather: device gathers of a dynamic-length index set
+        # would compile one executable per distinct count
+        org_np = np.broadcast_to(
+            np.asarray(ctr[:, None, :] + 1e-4 * normal[:, None, :]),
+            (F, V, 3)).reshape(-1, 3)
+        dir_np = np.asarray(dir_to_cam).reshape(-1, 3)
+        dist_np = np.asarray(dist).reshape(-1)
+        sel = np.nonzero(np.asarray(usable).reshape(-1))[0]
+        blocked = np.zeros(F * V, bool)
+        if len(sel):
+            t, _, hit = raycast.ray_mesh_intersect(
+                jnp.asarray(org_np[sel]), jnp.asarray(dir_np[sel]), tri_soup,
+                min_dist=1e-3, max_dist=max_dist)
+            blocked[sel] = np.asarray(hit) & (np.asarray(t) < dist_np[sel] - 1e-3)
+        usable = usable & ~jnp.asarray(blocked.reshape(F, V))
 
     cost = jnp.where(usable, cost, jnp.inf)
     return cost, usable
