@@ -251,14 +251,18 @@ def main():
 
     t0 = time.perf_counter()
     rig_true = None
+    have_ws = args.keep and (ws / "cameras.txt").exists()
     if args.rig:
-        rig_true = build_rig_workspace(ws, args.n_images, size, args.focal)
+        if not have_ws or "calibrate" in args.stages:
+            # rig_true is needed for the post-calibrate check, so rig
+            # workspaces are rebuilt whenever calibrate runs
+            rig_true = build_rig_workspace(ws, args.n_images, size, args.focal)
         if args.stages == "sfm,calibrate,fuse,texture":
             args.stages = "calibrate,fuse,texture"
-    else:
+    elif not have_ws:
         build_workspace(ws, args.n_images, size, args.focal)
     print(f"[pipeline] workspace ({args.n_images} images {size[0]}x{size[1]}"
-          f"{' rig' if args.rig else ''}):"
+          f"{' rig' if args.rig else ''}{' reused' if have_ws else ''}):"
           f" {time.perf_counter() - t0:.1f} s", file=sys.stderr)
 
     stages = args.stages.split(",")
