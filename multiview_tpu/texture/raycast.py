@@ -68,7 +68,7 @@ def _ray_block_intersect(o, d, tv, min_dist, max_dist, chunk: int):
 
 def ray_mesh_intersect(origins, dirs, tri_verts, min_dist=0.0,
                        max_dist: float = 100.0, chunk: int = 2048,
-                       ray_chunk: int = 16384):
+                       ray_chunk: int = 16384, tri_chunk: int = 0):
     """Nearest intersection of each ray with a triangle soup.
 
     origins, dirs: [R,3] (dirs need not be unit). tri_verts: [T,3,3].
@@ -107,10 +107,27 @@ def ray_mesh_intersect(origins, dirs, tri_verts, min_dist=0.0,
     d_all = d_all.reshape(-1, rc, 3)
     md_all = md_all.reshape(-1, rc)
 
+    # triangles are also host-chunked so one execution's work stays bounded
+    # (~rc * 2^21 tests ~ 8 s) even on multi-million-triangle soups;
+    # tri_chunk > 0 overrides the auto size (tests force small chunks)
+    tri_mega = tri_chunk or max(chunk, (1 << 21) // max(rc // 16384, 1))
+    tri_mega = max(chunk, tri_mega - tri_mega % chunk)
+    n_mega = (tv.shape[0] + tri_mega - 1) // tri_mega
+
     ts, idxs = [], []
     for b in range(o_all.shape[0]):
-        bt, bi = _ray_block_intersect(o_all[b], d_all[b], tv, md_all[b], mx,
-                                      chunk)
+        bt = bi = None
+        for m in range(n_mega):
+            sub = tv[m * tri_mega:(m + 1) * tri_mega]
+            st, si = _ray_block_intersect(o_all[b], d_all[b], sub,
+                                          md_all[b], mx, chunk)
+            si = jnp.where(si >= 0, si + m * tri_mega, si)
+            if bt is None:
+                bt, bi = st, si
+            else:
+                better = st < bt
+                bi = jnp.where(better, si, bi)
+                bt = jnp.minimum(bt, st)
         ts.append(bt)
         idxs.append(bi)
     best_t = jnp.concatenate(ts)[:R] if len(ts) > 1 else ts[0][:R]

@@ -46,6 +46,27 @@ class TestRaycast:
             jnp.asarray(tri), min_dist=2.0)
         assert not bool(hit[0])
 
+    def test_chunked_paths_agree(self):
+        """Host chunking over ray blocks AND triangle mega-chunks (the
+        watchdog-bounded dispatch layout) must match the single-dispatch
+        result, including per-ray min_dist across ray-block boundaries."""
+        rng = np.random.default_rng(3)
+        tri = rng.normal(size=(700, 3, 3)).astype(np.float32)
+        o = rng.normal(size=(130, 3)).astype(np.float32) * 2.0
+        d = rng.normal(size=(130, 3)).astype(np.float32)
+        md = np.abs(rng.normal(size=130)).astype(np.float32) * 0.3
+        ref = raycast.ray_mesh_intersect(jnp.asarray(o), jnp.asarray(d),
+                                         jnp.asarray(tri), min_dist=md,
+                                         max_dist=8.0)
+        got = raycast.ray_mesh_intersect(jnp.asarray(o), jnp.asarray(d),
+                                         jnp.asarray(tri), min_dist=md,
+                                         max_dist=8.0, chunk=128,
+                                         ray_chunk=32, tri_chunk=256)
+        assert np.array_equal(np.asarray(ref[2]), np.asarray(got[2]))
+        np.testing.assert_allclose(np.asarray(ref[0]), np.asarray(got[0]),
+                                   rtol=1e-5, atol=1e-6)
+        assert np.array_equal(np.asarray(ref[1]), np.asarray(got[1]))
+
 
 class TestViewSelection:
     def test_facing_view_wins(self):
