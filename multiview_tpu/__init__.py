@@ -24,19 +24,29 @@ __version__ = "0.1.0"
 
 
 def _host_fingerprint() -> str:
-    """Short stable id of this host's CPU ISA (hash of /proc/cpuinfo flags)."""
+    """Short stable id of this host's CPU ISA + XLA build: hash of the
+    /proc/cpuinfo feature line (x86 'flags' / arm 'Features'), machine
+    arch, and the jaxlib version (AOT target options change with the XLA
+    build, not only with the host ISA)."""
     import hashlib
+    import platform
 
+    parts = [platform.machine()]
+    try:
+        import jaxlib
+
+        parts.append(getattr(jaxlib, "__version__", "?"))
+    except Exception:
+        pass
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    return hashlib.md5(line.encode()).hexdigest()[:12]
+                if line.startswith(("flags", "Features")):
+                    parts.append(line.strip())
+                    break
     except OSError:
-        pass
-    import platform
-
-    return hashlib.md5(platform.processor().encode()).hexdigest()[:12]
+        parts.append(platform.processor())
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
 
 
 def _enable_persistent_compile_cache():

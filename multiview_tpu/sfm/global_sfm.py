@@ -499,8 +499,10 @@ def run_global_sfm(pair_data, num_views: int, dtype=jnp.float64,
                         for (i, j), v in pair_pids.items() if member[i]}
         sub = run_global_sfm(sub_pairs, int(member.sum()), dtype,
                              pair_pids=sub_pids)
-        poses = np.tile(np.array([0, 0, 0, 0, 0, 0, 1.0]), (num_views, 1))
-        poses[member] = np.asarray(sub)
+        sub = np.asarray(sub)
+        poses = np.tile(np.array([0, 0, 0, 0, 0, 0, 1.0], sub.dtype),
+                        (num_views, 1))
+        poses[member] = sub
         poses = jnp.asarray(poses)
         return (poses, member) if return_mask else poses
 

@@ -86,6 +86,9 @@ def ray_mesh_intersect(origins, dirs, tri_verts, min_dist=0.0,
     R = origins.shape[0]
     T = tri_verts.shape[0]
     dtype = origins.dtype
+    if R == 0:
+        return (jnp.zeros(0, dtype), jnp.zeros(0, jnp.int32),
+                jnp.zeros(0, bool))
 
     pad_T = (-T) % chunk
     tv = jnp.concatenate(
@@ -96,7 +99,10 @@ def ray_mesh_intersect(origins, dirs, tri_verts, min_dist=0.0,
         if np.ndim(min_dist) == 0 else jnp.asarray(min_dist, dtype).reshape(R)
     mx = jnp.asarray(max_dist, dtype)
 
-    rc = min(ray_chunk, max(R, 1))
+    # power-of-2 block size below ray_chunk: callers pass data-dependent ray
+    # counts (e.g. the compacted occlusion set), and an exact rc = R would
+    # compile one executable per distinct count (CLAUDE.md compile hygiene)
+    rc = min(ray_chunk, 1 << max(R - 1, 1).bit_length())
     pad_R = (-R) % rc
     o_all = jnp.concatenate([origins, jnp.zeros((pad_R, 3), dtype)]) \
         if pad_R else origins

@@ -36,27 +36,36 @@ def terrain_height(x, y):
 _TEX = np.random.default_rng(42).uniform(size=(512, 512)).astype(np.float32)
 
 
+def _terrain_hit(origins, dirs):
+    """March rays against the terrain by bisection; returns t [N]."""
+    t_lo = np.full(len(dirs), 0.2)
+    t_hi = np.full(len(dirs), 10.0)
+    for _ in range(40):
+        t_mid = 0.5 * (t_lo + t_hi)
+        p = origins + t_mid[:, None] * dirs
+        above = p[:, 2] > terrain_height(p[:, 0], p[:, 1])
+        t_lo = np.where(above, t_mid, t_lo)
+        t_hi = np.where(above, t_hi, t_mid)
+    return 0.5 * (t_lo + t_hi)
+
+
+def _texture_at(pts):
+    gi = np.mod(np.floor(pts[:, 0] * 10).astype(int), 512)
+    gj = np.mod(np.floor(pts[:, 1] * 10).astype(int), 512)
+    return np.clip(_TEX[gi, gj], 0, 1).astype(np.float32)
+
+
 def render_image(cam_to_world_mat, size, focal):
     """Textured terrain z=h(x,y) rendered by bisection along each ray."""
     W, H = size
     us, vs = np.meshgrid(np.arange(W), np.arange(H))
     d = np.stack([(us - W / 2.0) / focal, (vs - H / 2.0) / focal,
-                  np.ones_like(us, float)], -1)
+                  np.ones_like(us, float)], -1).reshape(-1, 3)
     M = cam_to_world_mat
-    o = M[:3, 3]
+    o = np.broadcast_to(M[:3, 3], d.shape)
     dw = d @ M[:3, :3].T
-    t_lo = np.full(us.shape, 0.2)
-    t_hi = np.full(us.shape, 10.0)
-    for _ in range(40):
-        t_mid = 0.5 * (t_lo + t_hi)
-        p = o + t_mid[..., None] * dw
-        above = p[..., 2] > terrain_height(p[..., 0], p[..., 1])
-        t_lo = np.where(above, t_mid, t_lo)
-        t_hi = np.where(above, t_hi, t_mid)
-    pts = o + (0.5 * (t_lo + t_hi))[..., None] * dw
-    gi = np.mod(np.floor(pts[..., 0] * 10).astype(int), 512)
-    gj = np.mod(np.floor(pts[..., 1] * 10).astype(int), 512)
-    return np.clip(_TEX[gi, gj], 0, 1).astype(np.float32)
+    t = _terrain_hit(o, dw)
+    return _texture_at(o + t[:, None] * dw).reshape(H, W)
 
 
 def build_workspace(ws: Path, n_images: int, size, focal):
@@ -96,19 +105,6 @@ def build_workspace(ws: Path, n_images: int, size, focal):
     nvm_io.write_camera_poses(ws / "cameras.txt", names, np.stack(mats))
 
 
-def _terrain_hit(origins, dirs):
-    """March unit rays against the terrain by bisection; returns t [N]."""
-    t_lo = np.full(len(dirs), 0.2)
-    t_hi = np.full(len(dirs), 10.0)
-    for _ in range(40):
-        t_mid = 0.5 * (t_lo + t_hi)
-        p = origins + t_mid[:, None] * dirs
-        above = p[:, 2] > terrain_height(p[:, 0], p[:, 1])
-        t_lo = np.where(above, t_mid, t_lo)
-        t_hi = np.where(above, t_hi, t_mid)
-    return 0.5 * (t_lo + t_hi)
-
-
 def render_with_cam(cam, w2c_pose, want_depth=False):
     """Render the terrain through an arbitrary CameraParams (distortion
     included: rays come from cam.ray_from_dist_pix). Optionally also return
@@ -125,10 +121,7 @@ def render_with_cam(cam, w2c_pose, want_depth=False):
     o = np.broadcast_to(Rt[:3, 3], rays_cam.shape)
     d = rays_cam @ Rt[:3, :3].T
     t = _terrain_hit(o, d)
-    pts = o + t[:, None] * d
-    gi = np.mod(np.floor(pts[:, 0] * 10).astype(int), 512)
-    gj = np.mod(np.floor(pts[:, 1] * 10).astype(int), 512)
-    img = np.clip(_TEX[gi, gj], 0, 1).astype(np.float32).reshape(H, W)
+    img = _texture_at(o + t[:, None] * d).reshape(H, W)
     if not want_depth:
         return img, None
     xyz = (rays_cam * t[:, None]).reshape(H, W, 3).astype(np.float32)
