@@ -107,8 +107,9 @@ def _pixel_row_residual(beg_pose, end_pose, rig, offset, focal, ctr, dist, point
 def _pixel_row_blocks(state: prob.RigState, obs: prob.PixelObs, model: str,
                       opts: prob.BAOptions):
     """Vmapped block Jacobians of every row: returns
-    (J_cam_blocks [N,2,B], J_pt [N,2,3]) where B = 25 + d (beg7,end7,rig7,
-    offset1,focal1,ctr2,dist d)."""
+    (J_cam_blocks [N,2,B], J_pt [N,2,3], res [N,2]) where B = 25 + d
+    (beg7,end7,rig7,offset1,focal1,ctr2,dist d). The residual rides along as
+    the jacrev aux so the blocks path never re-executes the residual graph."""
     s = obs.sensor
     d = state.dist[s]
 
@@ -116,17 +117,18 @@ def _pixel_row_blocks(state: prob.RigState, obs: prob.PixelObs, model: str,
             pix, dt_cam, dt_bracket, mask):
         def f(blocks):
             bp, ep, rg, of, fo, ct, di, pt = blocks
-            return _pixel_row_residual(
+            res = _pixel_row_residual(
                 bp, ep, rg, of, fo, ct, di, pt, pix, dt_cam, dt_bracket, mask,
                 obs.dist_half_size, model, opts.robust_threshold)
+            return res, res
 
         blocks = (beg_pose, end_pose, rig, offset, focal, ctr, dist, point)
         # reverse mode: 2 output rows vs ~33 input tangents for forward mode
-        jac = jax.jacrev(f)(blocks)
+        jac, res = jax.jacrev(f, has_aux=True)(blocks)
         j_cam = jnp.concatenate(
             [jac[0], jac[1], jac[2], jac[3][:, None], jac[4][:, None], jac[5],
              jac[6].reshape(2, -1)], axis=-1)
-        return j_cam, jac[7]
+        return j_cam, jac[7], res
 
     mask_f = obs.mask.astype(state.dtype)
     return jax.vmap(row, in_axes=(0, 0, None, None, None, None, None, 0, 0, 0, 0, 0))(
@@ -167,8 +169,9 @@ def _depth_row_residual(beg_pose, end_pose, rig, offset, d2i, dscale, point,
 
 def _depth_row_blocks(state: prob.RigState, obs: prob.DepthObs, opts: prob.BAOptions,
                       mesh_variant: bool):
-    """Vmapped block Jacobians for depth rows: (J_cam [N,3,B], J_pt [N,3,3])
-    with B = 7+7+7 + (7|12) + 1 + 1. For the mesh variant J_pt is zeros."""
+    """Vmapped block Jacobians for depth rows: (J_cam [N,3,B], J_pt [N,3,3],
+    res [N,3]) with B = 7+7+7 + (7|12) + 1 + 1. For the mesh variant J_pt is
+    zeros."""
     s = obs.sensor
     weight = opts.depth_mesh_weight if mesh_variant else opts.depth_tri_weight
     affine = opts.affine_depth_to_image
@@ -183,17 +186,18 @@ def _depth_row_blocks(state: prob.RigState, obs: prob.DepthObs, opts: prob.BAOpt
             depth_xyz, target_xyz, dt_cam, dt_bracket, mask):
         def f(blocks):
             bp, ep, rg, of, dd, ds, pt = blocks
-            return _depth_row_residual(bp, ep, rg, of, dd, ds, pt, depth_xyz,
-                                       target_xyz, dt_cam, dt_bracket, mask,
-                                       weight, affine, use_point,
-                                       opts.robust_threshold)
+            res = _depth_row_residual(bp, ep, rg, of, dd, ds, pt, depth_xyz,
+                                      target_xyz, dt_cam, dt_bracket, mask,
+                                      weight, affine, use_point,
+                                      opts.robust_threshold)
+            return res, res
 
         blocks = (beg_pose, end_pose, rig, offset, d2i, dscale, point)
-        jac = jax.jacrev(f)(blocks)
+        jac, res = jax.jacrev(f, has_aux=True)(blocks)
         j_cam = jnp.concatenate(
             [jac[0], jac[1], jac[2], jac[3][:, None], jac[4], jac[5][:, None]],
             axis=-1)
-        return j_cam, jac[6]
+        return j_cam, jac[6], res
 
     mask_f = row_mask.astype(state.dtype)
     return jax.vmap(row, in_axes=(0, 0, None, None, None, None, 0, 0, 0, 0, 0, 0))(
@@ -250,6 +254,39 @@ def _pixel_row_cam_indices(template: prob.RigState, obs: prob.PixelObs,
 # ----------------------------------------------------------------------------
 # The solver
 # ----------------------------------------------------------------------------
+
+
+def inv3x3_spd(A):
+    """Batched closed-form inverse of damped SPD 3x3 blocks [P,3,3].
+
+    Diagonally normalized adjugate: A = D An D with D = sqrt(diag(A)), so
+    An has unit diagonal and |An_ij| <= 1 (no overflow however large the
+    Jacobians get) and its determinant stays representable in f32 even
+    for near-rank-2 blocks (det ~ damping ratio, >> f32 denormal range).
+    One inverse per LM iteration replaces the batched LU
+    ``jnp.linalg.solve`` that previously ran inside EVERY CG matvec —
+    tiny batched LUs serialize on TPU while this is pure VPU work, and
+    every downstream Hpp^-1 application becomes one einsum."""
+    d = jnp.sqrt(jnp.clip(jnp.diagonal(A, axis1=-2, axis2=-1), 1e-32, None))
+    S = d[..., :, None] * d[..., None, :]
+    M = A / S
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    dd, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    c00 = e * i - f * h
+    c10 = f * g - dd * i
+    c20 = dd * h - e * g
+    det = a * c00 + b * c10 + c * c20
+    # zero-inverse for numerically singular blocks (a fully-masked point
+    # never gets one: its damped block is exactly lam*eps*I -> An = I)
+    ok = det > 1e-30
+    inv_det = jnp.where(ok, 1.0, 0.0) / jnp.where(ok, det, 1.0)
+    adj = jnp.stack([
+        jnp.stack([c00, c * h - b * i, b * f - c * e], axis=-1),
+        jnp.stack([c10, a * i - c * g, c * dd - a * f], axis=-1),
+        jnp.stack([c20, b * g - a * h, a * e - b * dd], axis=-1),
+    ], axis=-2)
+    return adj * inv_det[..., None, None] / S
 
 
 def _static_priors(obs, o: prob.BAOptions):
@@ -408,30 +445,37 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
         j_pt [N,k,3]|None, point_idx [N]|None) in exactly the concatenation
         order of all_residuals — the explicit sparse Jacobian, materialized
         once per LM iteration so every CG matvec is gathers + segment-sums
-        instead of re-executing the residual graph."""
+        instead of re-executing the residual graph. Also returns the flat
+        residual vector (the jacrev primals) so the blocks path evaluates the
+        residual graph exactly once per LM iteration."""
         st = unpack(cam_vec, points)
         fams = []
+        res_parts = []
         fi = 0
         for obs in obs_all.pixels:
-            j_cam, j_pt = _pixel_row_blocks(st, obs, models[obs.sensor], opts)
+            j_cam, j_pt, r = _pixel_row_blocks(st, obs, models[obs.sensor], opts)
             cols = _row_cols_jnp(obs, fam_struct[fi][2])
             fi += 1
             fams.append((j_cam, cols, j_pt, obs.point_idx))
+            res_parts.append(r.reshape(-1))
         for obs in obs_all.depths:
             if opts.depth_tri_weight > 0.0:
-                j_cam, j_pt = _depth_row_blocks(st, obs, opts, mesh_variant=False)
+                j_cam, j_pt, r = _depth_row_blocks(st, obs, opts, mesh_variant=False)
                 fams.append((j_cam, _row_cols_jnp(obs, fam_struct[fi][2]),
                              j_pt, obs.point_idx))
+                res_parts.append(r.reshape(-1))
                 fi += 1
             if obs.mesh_xyz is not None and opts.depth_mesh_weight > 0.0:
-                j_cam, _ = _depth_row_blocks(st, obs, opts, mesh_variant=True)
+                j_cam, _, r = _depth_row_blocks(st, obs, opts, mesh_variant=True)
                 fams.append((j_cam, _row_cols_jnp(obs, fam_struct[fi][2]),
                              None, None))
+                res_parts.append(r.reshape(-1))
                 fi += 1
         for prior, weight, th in _static_priors(obs_all, opts):
-            jp = _prior_row_blocks(st, prior, weight, th)
+            jp, r = _prior_row_blocks(st, prior, weight, th)
             fams.append((None, None, jp, prior.point_idx))
-        return fams
+            res_parts.append(r.reshape(-1))
+        return fams, jnp.concatenate(res_parts)
 
     def hpp_and_diag(fams):
         """Hpp [P,3,3] and exact camera Jacobi diagonal [C] from the blocks."""
@@ -480,19 +524,17 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
             def f(p):
                 res = weight * (p - ref)
                 if th <= 0:
-                    return res * mask
+                    out = res * mask
+                    return out, out
                 s = jnp.sum(res * res)
                 tiny = 1e-20
                 ratio = losses.rho("cauchy", s, th) / jnp.maximum(s, tiny)
                 w = jnp.sqrt(jnp.where(s > tiny, ratio, 1.0))
-                return res * (w * mask)
-            return jax.jacfwd(f)(point)
+                out = res * (w * mask)
+                return out, out
+            return jax.jacfwd(f, has_aux=True)(point)
         return jax.vmap(row)(st.points[prior.point_idx], prior.ref_xyz,
                              prior.mask.astype(st.dtype))
-
-    def batched_solve3(Hpp_damped, rhs):
-        """[P,3,3] @ x = rhs [P,3] via explicit 3x3 inverse-free solve."""
-        return jnp.linalg.solve(Hpp_damped, rhs[..., None])[..., 0]
 
     def project(cam_vec):
         if lower is not None:
@@ -583,12 +625,12 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
         def body(s):
             reduce_cols = None
             if use_blocks:
-                # zero jvp/vjp passes: residuals run once for the gradient,
-                # and the explicit row blocks (materialized anyway for
-                # Hpp/the preconditioner) drive every J/J^T product
-                r = residuals(s.cam, s.points, obs)
+                # zero jvp/vjp passes AND a single residual-graph execution:
+                # the row residuals ride along as the jacrev aux of the block
+                # Jacobians (materialized anyway for Hpp/the preconditioner),
+                # which drive every J/J^T product
                 lin = lin_t = None
-                fams = family_blocks(s.cam, s.points, obs)
+                fams, r = family_blocks(s.cam, s.points, obs)
 
                 def xr_of(j_cam, meta, xc):
                     """Gather each row's camera-param sub-vector [N,B]."""
@@ -663,7 +705,7 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
                     return lin_t(u)
 
                 gc_raw, g_p = lin_t(r)
-                fams = family_blocks(s.cam, s.points, obs)
+                fams, _ = family_blocks(s.cam, s.points, obs)
 
             g_c = gc_raw * cam_free
 
@@ -683,6 +725,12 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
             pt_diag = jnp.clip(jnp.diagonal(hpp, axis1=-2, axis2=-1), 1e-12, 1e32)
 
             hpp_damped = hpp + jax.vmap(jnp.diag)(s.lam * pt_diag)
+            hpp_inv = inv3x3_spd(hpp_damped)
+
+            def solve3(rhs):
+                """Hpp^-1 @ rhs [P,3] via the precomputed block inverses."""
+                return jnp.einsum("pij,pj->pi", hpp_inv, rhs)
+
             # damped camera diagonal; frozen entries pinned to 1 (step 0)
             dc = s.lam * cam_diag * cam_free + (1.0 - cam_free)
             precond = 1.0 / (cam_diag * cam_free + dc)
@@ -692,7 +740,6 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
                 # S = B - E Hpp^-1 E^T (each row's point-block Schur
                 # complement is PSD, so the accumulated blocks + damping are
                 # SPD); non-pose parameters stay on the scalar diagonal.
-                hpp_inv = jnp.linalg.inv(hpp_damped)
                 blocks = jnp.zeros((num_ref, 7, 7), dtype)
                 for (j_cam, cols, j_pt, pidx), pi, meta in zip(
                         fams, fam_pose_idx, metas):
@@ -767,12 +814,12 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
                 def schur_mv(x):
                     u = Jx(x * cam_free, zero_p)
                     _, v = JTu(u)
-                    w = batched_solve3(hpp_damped, v)
+                    w = solve3(v)
                     z = Jx(zero_c, w)
                     gc, _ = JTu(u - z)
                     return gc * cam_free + dc * x
 
-                w0 = batched_solve3(hpp_damped, g_p)
+                w0 = solve3(g_p)
                 gc0, _ = JTu(Jx(zero_c, w0))
                 rhs = -(g_c - gc0 * cam_free)
             else:
@@ -784,13 +831,13 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
                 def schur_mv(x):
                     u = Jmv(x * cam_free, zp)
                     _, v = JTmv(u)
-                    w = batched_solve3(hpp_damped, v)
+                    w = solve3(v)
                     z = Jmv(zc, w)
                     gc, _ = JTmv(u - z)
                     return gc * cam_free + dc * x
 
                 # rhs = -(g_c - E Hpp^-1 g_p)
-                w0 = batched_solve3(hpp_damped, g_p)
+                w0 = solve3(g_p)
                 gc0, _ = JTmv(Jmv(zc, w0))
                 rhs = -(g_c - gc0 * cam_free)
 
@@ -812,7 +859,6 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
                         c_idx = cols[:, :, None]
                         j_idx = jnp.arange(3)[None, None, :]
                         E = E.at[n_idx, c_idx, j_idx].add(outer)
-                hpp_inv = jnp.linalg.inv(hpp_damped)          # [P,3,3]
                 T = jnp.einsum("pci,pij->pcj", E, hpp_inv)
                 S = B - jnp.einsum("pcj,pdj->cd", T, E,
                                    preferred_element_type=dtype)
@@ -861,7 +907,7 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
             # back-substitute points: dp = Hpp^-1 (-g_p - Jp^T Jc dc)
             u = Jmv(dc_step * cam_free, None if use_blocks else zero_p)
             _, v = JTmv(u)
-            dp = batched_solve3(hpp_damped, -g_p - v)
+            dp = solve3(-g_p - v)
 
             cam_new = project(s.cam + dc_step * cam_free)
             pts_new = s.points + dp

@@ -41,8 +41,11 @@ class TestDepthResiduals:
         obs = scene.observations.depths[0]
         opts = prob.BAOptions(depth_tri_weight=10.0)
         layout = schur.cam_layout(st)
-        j_cam, j_pt = schur._depth_row_blocks(st, obs, opts, mesh_variant=False)
+        j_cam, j_pt, r_aux = schur._depth_row_blocks(st, obs, opts, mesh_variant=False)
         cols = schur._depth_row_cam_indices(st, obs, layout)
+        np.testing.assert_allclose(
+            np.asarray(r_aux),
+            np.asarray(prob.depth_tri_residuals(st, obs, opts)), atol=1e-12)
 
         template = st
 

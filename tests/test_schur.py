@@ -28,8 +28,15 @@ class TestRowBlocks:
         obs = scene.observations.pixels[0]
         layout = schur.cam_layout(state0)
 
-        j_cam, j_pt = schur._pixel_row_blocks(state0, obs, scene.models[0], opts)
+        j_cam, j_pt, r_aux = schur._pixel_row_blocks(state0, obs, scene.models[0], opts)
         cols = schur._pixel_row_cam_indices(state0, obs, layout)
+
+        # the jacrev-aux residuals must equal the vectorized residual path
+        # (they drive the gradient and the LM accept cost in blocks mode)
+        np.testing.assert_allclose(
+            np.asarray(r_aux),
+            np.asarray(prob.pixel_residuals(state0, obs, scene.models[0], opts)),
+            atol=1e-12)
 
         # full autodiff reference
         template = state0
@@ -171,3 +178,36 @@ class TestSchurJacobiPreconditioner:
         assert float(sj.cost) <= 10.0 * max(float(ja.cost), 1e-300)
         assert int(sj.cg_iters_total) <= int(ja.cg_iters_total), \
             (int(sj.cg_iters_total), int(ja.cg_iters_total))
+
+
+class TestInv3x3Spd:
+    """The closed-form diagonally-normalized SPD inverse that replaced the
+    batched LU solves inside every CG matvec."""
+
+    def test_random_spd(self):
+        key = jax.random.PRNGKey(0)
+        A = jax.random.normal(key, (64, 3, 3), jnp.float32)
+        spd = jnp.einsum("nij,nkj->nik", A, A) + 1e-3 * jnp.eye(3)
+        inv = schur.inv3x3_spd(spd)
+        err = jnp.max(jnp.abs(jnp.einsum("nij,njk->nik", inv, spd) - jnp.eye(3)))
+        assert float(err) < 1e-3
+
+    def test_extreme_scales_f32(self):
+        """A naive adjugate overflows f32 determinants at ~1e13 diagonal
+        scale and underflows for weak blocks; the normalized form must not."""
+        key = jax.random.PRNGKey(1)
+        A = jax.random.normal(key, (32, 3, 3), jnp.float32)
+        spd = jnp.einsum("nij,nkj->nik", A, A) + 1e-2 * jnp.eye(3)
+        for scale in (1e12, 1e-12):
+            M = spd * scale
+            inv = schur.inv3x3_spd(M)
+            err = jnp.max(jnp.abs(jnp.einsum("nij,njk->nik", inv, M) - jnp.eye(3)))
+            assert float(err) < 1e-3, (scale, float(err))
+
+    def test_singular_block_gives_zero_inverse(self):
+        """Numerically singular blocks (fully-masked points) must produce a
+        zero inverse, not NaN — the LM update then leaves the point fixed."""
+        Z = jnp.zeros((4, 3, 3), jnp.float32)
+        inv = schur.inv3x3_spd(Z)
+        assert bool(jnp.isfinite(inv).all())
+        np.testing.assert_array_equal(np.asarray(inv), 0.0)
