@@ -16,8 +16,10 @@ How each piece maps to JAX:
   observation family (static shapes, MXU/VPU friendly) scattered with
   ``segment_sum``.
 - Schur matvec S·x = Jcᵀ(Jc x) + λDc x − JcᵀJp (Hpp+λDp)⁻¹ JpᵀJc x is four
-  linearized products plus a batched 3x3 solve — all fused by XLA into one
-  compiled while_loop body with zero host round-trips.
+  linearized products plus an einsum against the closed-form SPD block
+  inverses of Hpp+λDp (``inv3x3_spd``, computed once per LM iteration) —
+  all fused by XLA into one compiled while_loop body with zero host
+  round-trips.
 
 Under a sharded observation layout (parallel/sharding.py) every reduction
 (vjp accumulations, segment sums, CG dot products) lowers to psum/all-reduce
