@@ -314,6 +314,58 @@ def residual_stats(state: prob.RigState, observations: prob.Observations,
 
 
 # ----------------------------------------------------------------------------
+# RPC inverse refit (updateRpcUndistortion)
+# ----------------------------------------------------------------------------
+
+
+def refit_rpc_undistortion(state: prob.RigState, models: Sequence[str],
+                           float_spec: prob.FloatSpec,
+                           cam_params: Optional[Sequence],
+                           num_samples: int = 100,
+                           verbose: bool = False) -> prob.RigState:
+    """Refit the inverse (undistort) half of every floated RPC sensor's
+    coefficient vector against the optimized forward half
+    (``updateRpcUndistortion`` -> ``fitRpcUndist``,
+    `/root/reference/camera_model/camera_params.cc:214-254`,
+    `rpc_distortion.cc:658-721`). The forward half is what BA optimizes (it
+    alone enters ``distort_centered``); the inverse is a fitted approximation
+    that must track it. No-op for non-RPC sensors or when ``cam_params`` is
+    not provided (the caller then has no image-geometry info to sample with).
+    """
+    if cam_params is None:
+        return state
+    from multiview_tpu.geometry import rpc_fit
+
+    new_dist = list(state.dist)
+    changed = False
+    for s in getattr(float_spec, "distortion", ()):
+        if models[s] != "rpc":
+            continue
+        coeffs = np.asarray(state.dist[s])
+        n = len(coeffs) // 2
+        cam = cam_params[s].with_intrinsics(
+            focal=jnp.stack([state.focal[s], state.focal[s]]).astype(
+                cam_params[s].dtype),
+            optical_offset=state.optical_center[s].astype(cam_params[s].dtype),
+            dist_coeffs=jnp.asarray(coeffs, cam_params[s].dtype))
+        undist = rpc_fit.fit_rpc_undist(coeffs[:n], cam,
+                                        num_samples=num_samples)
+        new_dist[s] = jnp.asarray(np.concatenate([coeffs[:n], undist]),
+                                  state.dtype)
+        changed = True
+        if verbose:
+            err = rpc_fit.eval_rpc_dist_undist(
+                cam.with_intrinsics(dist_coeffs=jnp.asarray(
+                    np.asarray(new_dist[s]), cam_params[s].dtype)),
+                np.asarray(new_dist[s]), num_samples=num_samples)
+            print(f"Sensor {s}: max distort_undistort error after RPC "
+                  f"inverse refit: {err:.6g} pixels")
+    if not changed:
+        return state
+    return dataclasses.replace(state, dist=tuple(new_dist))
+
+
+# ----------------------------------------------------------------------------
 # The multi-pass driver
 # ----------------------------------------------------------------------------
 
@@ -347,6 +399,8 @@ def optimize_rig(
     mesh_tri_verts: Optional[np.ndarray] = None,  # [T,3,3] for mesh constraints
     min_ray_dist: float = 0.0,
     max_ray_dist: float = 100.0,
+    cam_params: Optional[Sequence] = None,  # per-sensor CameraParams (RPC refit)
+    rpc_refit_samples: int = 100,
     verbose: bool = False,
 ) -> CalibratorResult:
     """The reference's per-pass loop (rig_calibrator.cc:1550-1990).
@@ -370,10 +424,10 @@ def optimize_rig(
         for ob in observations.pixels:
             entry_sensors[np.asarray(ob.beg_idx)] = ob.sensor
     mask_vec = prob.build_mask(state, float_spec, no_rig=opts.no_rig,
-                               entry_sensors=entry_sensors)
+                               entry_sensors=entry_sensors, models=models)
     cam_mask_vec = prob.build_mask(state, float_spec, no_rig=opts.no_rig,
                                    include_points=False,
-                                   entry_sensors=entry_sensors)
+                                   entry_sensors=entry_sensors, models=models)
     schur_solver = None
 
     lower = upper = None
@@ -497,6 +551,15 @@ def optimize_rig(
                 mask=jnp.asarray(mask_vec), lower=lower, upper=upper)
             lm_results.append(res)
             state = prob.unpack_state(res.x, template)
+
+        # refit the RPC inverse for sensors whose distortion floated
+        # (updateRpcUndistortion, rig_calibrator.cc:1944-1948): the undistort
+        # half has zero gradient in BA, so it must be re-derived from the
+        # optimized forward half or the next retriangulation (and the written
+        # config) would use a stale inverse
+        state = refit_rpc_undistortion(state, models, float_spec, cam_params,
+                                       num_samples=rpc_refit_samples,
+                                       verbose=verbose)
 
         if verbose and pass_i < num_passes - 1:
             residual_stats(state, obs_now, models, opts, sensor_names,

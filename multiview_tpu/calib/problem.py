@@ -382,11 +382,20 @@ def unpack_state(vec: jnp.ndarray, template: RigState,
 
 def build_mask(state: RigState, spec: FloatSpec, ref_sensor: int = 0,
                no_rig: bool = False, include_points: bool = True,
-               entry_sensors: Optional[np.ndarray] = None) -> np.ndarray:
+               entry_sensors: Optional[np.ndarray] = None,
+               models: Optional[Sequence[str]] = None) -> np.ndarray:
     """Boolean free-parameter mask aligned with pack_state order.
 
     ``entry_sensors`` (no-rig mode): [R] sensor type of each world_to_ref
     entry; with spec.cam_pose_sensors it gives per-sensor pose floating.
+
+    ``models``: per-sensor distortion model names. For an ``rpc`` sensor only
+    the forward (distort) half of the coefficient vector floats — the inverse
+    half never enters any residual (only ``distort_centered`` is autodiffed,
+    geometry/distortion.py), so floating it would silently leave it stale.
+    The reference instead refits the inverse after every optimization pass
+    (``updateRpcUndistortion``, rig_calibrator.cc:1944-1948); the calibrator
+    mirrors that with a post-pass ``fit_rpc_undist`` call.
     """
     S = state.num_sensors
     if no_rig and spec.cam_pose_sensors is not None and entry_sensors is not None:
@@ -411,7 +420,10 @@ def build_mask(state: RigState, spec: FloatSpec, ref_sensor: int = 0,
     m_ctr[list(spec.optical_center)] = True
     m_dist = [np.zeros(d.shape, bool) for d in state.dist]
     for s in spec.distortion:
-        m_dist[s][:] = True
+        if models is not None and models[s] == "rpc":
+            m_dist[s][:len(m_dist[s]) // 2] = True
+        else:
+            m_dist[s][:] = True
     m_d2i = np.zeros(state.depth_to_image.shape, bool)
     m_d2i[list(spec.depth_to_image)] = True
     m_dscale = np.full(S, spec.depth_scale)

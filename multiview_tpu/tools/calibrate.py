@@ -337,6 +337,7 @@ def run(args):
         parameter_tolerance=args.parameter_tolerance,
         mesh_tri_verts=mesh_tri_verts,
         min_ray_dist=args.min_ray_dist, max_ray_dist=args.max_ray_dist,
+        cam_params=cam_params,
         sensor_names=sensor_names, verbose=True)
     state = result.state
 

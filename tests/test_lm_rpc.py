@@ -127,3 +127,90 @@ class TestRpcFit:
         d_true = cam.distort_centered(pix)
         d_rpc = rpc_cam.distort_centered(pix)
         np.testing.assert_allclose(d_rpc, d_true, atol=0.1)
+
+
+class TestRpcRefitInCalibration:
+    """Post-BA RPC inverse refit (updateRpcUndistortion parity,
+    rig_calibrator.cc:1944-1948)."""
+
+    def _rpc_scene(self):
+        """Rig scene whose second sensor carries RPC distortion fitted from a
+        Tsai model, with a perturbed forward half as the starting point."""
+        import dataclasses
+        from multiview_tpu.utils import synthetic as syn
+        from multiview_tpu.geometry import pose as pose_mod
+
+        tsai_cam = CameraParams.create((640, 480), (250.0, 250.0),
+                                       (320.0, 240.0),
+                                       (-0.02, 0.004, 1e-5, -1e-5))
+        true_coeffs = rpc_fit.fit_rpc_dist_undist(
+            tsai_cam, rpc_degree=3, num_samples=15, num_iterations=30)
+        specs = [
+            dict(name="nav_cam", focal=600.0, size=(1280, 960), dist=(),
+                 offset=0.0, rig=np.array([0, 0, 0, 0, 0, 0, 1.0])),
+            dict(name="haz_cam", focal=250.0, size=(640, 480),
+                 dist=tuple(true_coeffs), offset=0.3,
+                 rig=np.asarray(pose_mod.make_pose(
+                     jnp.asarray([0.1, 0.02, -0.05]),
+                     pose_mod.quat_exp(jnp.asarray([0.05, -0.03, 0.08]))))),
+        ]
+        scene = syn.make_rig_scene(n_ref=10, sensor_specs=specs)
+        assert scene.models[1] == "rpc"
+        rpc_cam = CameraParams.create((640, 480), (250.0, 250.0),
+                                      (320.0, 240.0), true_coeffs)
+        return scene, true_coeffs, rpc_cam, specs
+
+    def test_mask_floats_only_forward_half(self):
+        from multiview_tpu.calib import problem as prob
+        scene, true_coeffs, _, _ = self._rpc_scene()
+        n = len(true_coeffs) // 2
+        spec = prob.FloatSpec(distortion=(1,))
+        mask = prob.build_mask(scene.true_state, spec, models=scene.models)
+        # locate the dist block of sensor 1 in pack order
+        st = scene.true_state
+        off = (st.world_to_ref.size + st.ref_to_cam.size
+               + st.timestamp_offsets.size + st.focal.size
+               + st.optical_center.size + st.dist[0].size)
+        dist_mask = mask[off:off + st.dist[1].size]
+        assert dist_mask[:n].all()
+        assert not dist_mask[n:].any()
+        # without models the whole vector floats (legacy behavior)
+        mask_legacy = prob.build_mask(scene.true_state, spec)
+        assert mask_legacy[off:off + st.dist[1].size].all()
+
+    def test_refit_after_optimize(self):
+        """Calibrate with floated RPC distortion; the written coefficients'
+        distort->undistort round trip must be tight (the reference's check,
+        rpc_distortion.cc:723-739)."""
+        import dataclasses
+        from multiview_tpu.calib import problem as prob, calibrator as cal
+
+        scene, true_coeffs, rpc_cam, _ = self._rpc_scene()
+        n = len(true_coeffs) // 2
+        rng = np.random.default_rng(0)
+        bad_fwd = true_coeffs[:n] * (1.0 + 0.05 * rng.normal(size=n))
+        state0 = dataclasses.replace(
+            scene.true_state,
+            dist=(scene.true_state.dist[0],
+                  jnp.asarray(np.concatenate([bad_fwd, true_coeffs[n:]]))))
+        spec = prob.FloatSpec(distortion=(1,))
+        result = cal.optimize_rig(
+            state0, scene.observations, scene.models, spec,
+            prob.BAOptions(), num_passes=1, num_iterations=40,
+            cam_params=[None, rpc_cam], rpc_refit_samples=15,
+            sensor_names=["nav_cam", "haz_cam"])
+        final = np.asarray(result.state.dist[1])
+        # the inverse half was actually refit (not left bitwise at its stale
+        # value; BA recovers the forward half, so the refit inverse is close
+        # to — but not identical with — the original fit)
+        assert not np.array_equal(final[n:], true_coeffs[n:])
+        cam_final = rpc_cam.with_intrinsics(
+            focal=result.state.focal[1] * jnp.ones(2),
+            optical_offset=result.state.optical_center[1],
+            dist_coeffs=jnp.asarray(final))
+        rt = rpc_fit.eval_rpc_dist_undist(cam_final, final, num_samples=20)
+        assert rt < 1e-2, f"refit round-trip error too large: {rt}"
+        # and the forward half moved back toward consistency: median pixel
+        # residual after optimization is small
+        med = result.stats_after["haz_cam_pix_x"][1]
+        assert med < 0.1, f"pixel residual median {med}"
