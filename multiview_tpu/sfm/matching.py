@@ -51,18 +51,57 @@ def ratio_test_mask(m: MatchResult, ratio: float = 0.8) -> jnp.ndarray:
     return jnp.sqrt(m.best_dist) < ratio * jnp.sqrt(m.second_dist)
 
 
+def knn2_pallas_padded(query, train, block_n: int = 256, block_m: int = 256,
+                       interpret: bool = None) -> MatchResult:
+    """``matched_pairs_pallas`` for arbitrary (non-block-multiple) sizes.
+
+    Queries pad with copies of row 0 (results sliced off); train pads with
+    constant huge-valued descriptors whose distance to any real descriptor
+    dwarfs every true distance, so they never enter the top-2."""
+    n, d = query.shape
+    m = train.shape[0]
+    pad_n = (-n) % block_n
+    pad_m = (-m) % block_m
+    q = query if pad_n == 0 else jnp.concatenate(
+        [query, jnp.broadcast_to(query[:1], (pad_n, d))])
+    t = train if pad_m == 0 else jnp.concatenate(
+        [train, jnp.full((pad_m, d), 1e6, train.dtype)])
+    res = matched_pairs_pallas(q, t, block_n=block_n, block_m=block_m,
+                               interpret=interpret)
+    if pad_n == 0:
+        return res
+    return MatchResult(res.best_idx[:n], res.best_dist[:n],
+                       res.second_dist[:n])
+
+
+def knn2_auto(query, train, use_pallas: bool = None,
+              min_pallas: int = 1024) -> MatchResult:
+    """2-NN dispatch: on TPU with large descriptor sets, the fused Pallas
+    kernel (the [N,M] distance matrix never hits HBM — at the reference's
+    10k features/image the XLA path would materialize 400 MB/pair); the XLA
+    ``knn2`` otherwise. The choice is made at trace time (shapes/platform
+    are static under jit)."""
+    if use_pallas is None:
+        use_pallas = (jax.devices()[0].platform == "tpu"
+                      and query.shape[0] >= min_pallas
+                      and train.shape[0] >= min_pallas)
+    if use_pallas:
+        return knn2_pallas_padded(query, train)
+    return knn2(query, train)
+
+
 def match_descriptors(query, train, ratio: float = 0.8,
-                      cross_check: bool = False):
+                      cross_check: bool = False, use_pallas: bool = None):
     """Matched index pairs after the ratio test.
 
     Returns (pairs [N,2] int32 with -1 rows where rejected, mask [N]).
     With cross_check=True also requires the match to be mutual (best in both
     directions).
     """
-    m = knn2(query, train)
+    m = knn2_auto(query, train, use_pallas)
     keep = ratio_test_mask(m, ratio)
     if cross_check:
-        m_rev = knn2(train, query)
+        m_rev = knn2_auto(train, query, use_pallas)
         mutual = m_rev.best_idx[m.best_idx] == jnp.arange(query.shape[0])
         keep = keep & mutual
     n = query.shape[0]
@@ -115,8 +154,12 @@ def matched_pairs_pallas(query, train, block_n: int = 256, block_m: int = 256,
             best, second, bidx = carry
             t = t_ref[pl.ds(pl.multiple_of(j * block_m, block_m), block_m), :]
             tn = tn_ref[j, :]
-            d2 = qn[:, None] + tn[None, :] - 2.0 * jnp.dot(
-                q, t.T, preferred_element_type=jnp.float32)
+            # clamp like knn2: cancellation can go slightly negative for
+            # near-duplicate descriptors, and sqrt(negative) in the ratio
+            # test would silently NaN-drop an exact match
+            d2 = jnp.maximum(
+                qn[:, None] + tn[None, :] - 2.0 * jnp.dot(
+                    q, t.T, preferred_element_type=jnp.float32), 0.0)
             # local top-2 within the tile
             loc_best = jnp.min(d2, axis=1)
             loc_arg = jnp.argmin(d2, axis=1).astype(jnp.int32)

@@ -224,27 +224,39 @@ def _detect_batched_fn(max_features: int, num_scales: int, num_octaves: int,
 
 
 @functools.lru_cache(maxsize=None)
-def _match_batched_fn(ratio: float, ransac_threshold: float):
-    """Jitted vmapped matcher (match + ratio + RANSAC), cached so repeated
-    match_pairs_batched calls reuse the compiled executable."""
+def _match_batched_fn(ratio: float, ransac_threshold: float,
+                      use_pallas: bool = False):
+    """Jitted batched matcher (match + ratio + RANSAC), cached so repeated
+    match_pairs_batched calls reuse the compiled executable.
+
+    With ``use_pallas`` the fused Pallas distance+top-2 kernel runs per pair
+    under ``lax.map`` (the kernel grids over query rows itself; mapping
+    keeps it a single dispatch per chunk while the [K,K] distance matrix
+    stays in VMEM — the production path on TPU)."""
     import jax
 
     def one(di, dj, xyi, xyj, vi, vj, key):
-        pairs, keep = match_mod.match_descriptors(di, dj, ratio=ratio)
+        pairs, keep = match_mod.match_descriptors(di, dj, ratio=ratio,
+                                                  use_pallas=use_pallas)
         keep = keep & vi & vj[pairs[:, 1]]
         dst = xyj[pairs[:, 1]]
         res = ransac_mod.ransac_affine2d(xyi, dst, valid=keep,
                                          threshold=ransac_threshold, key=key)
         return res.inliers, pairs[:, 1]
 
+    if use_pallas:
+        return jax.jit(lambda *args: jax.lax.map(lambda a: one(*a), args))
     return jax.jit(jax.vmap(one))
 
 
 def match_pairs_batched(kps, descs, pair_ids, cfg: FrontendConfig,
-                        chunk: int = 32):
+                        chunk: int = 32, use_pallas: bool = None):
     """Descriptor match + ratio test + affine RANSAC for MANY pairs in one
-    vmapped dispatch per chunk (static [K] padded shapes with validity masks
+    batched dispatch per chunk (static [K] padded shapes with validity masks
     end-to-end — no host round-trips between the stages).
+
+    On TPU with large feature counts the Pallas fused matcher is the
+    production path (use_pallas=None auto-selects; see knn2_auto).
 
     pair_ids: list of (i, j). Returns {(i, j): (xy_i [M,2], xy_j [M,2])}.
     """
@@ -253,7 +265,10 @@ def match_pairs_batched(kps, descs, pair_ids, cfg: FrontendConfig,
     if not pair_ids:
         return {}
 
-    one_v = _match_batched_fn(cfg.ratio, cfg.ransac_threshold)
+    if use_pallas is None:
+        k = descs[pair_ids[0][0]].shape[0]
+        use_pallas = jax.default_backend() == "tpu" and k >= 1024
+    one_v = _match_batched_fn(cfg.ratio, cfg.ransac_threshold, use_pallas)
     out = {}
     chunk = min(chunk, len(pair_ids))
     for c0 in range(0, len(pair_ids), chunk):

@@ -210,6 +210,29 @@ def _depth_row_blocks(state: prob.RigState, obs: prob.DepthObs, opts: prob.BAOpt
         obs.dt_cam, obs.dt_bracket, mask_f)
 
 
+def _prior_row_blocks(st: prob.RigState, prior: prob.XyzPriorObs,
+                      weight: float, th: float):
+    """Vmapped point-block Jacobians + aux residuals of an xyz-prior family
+    (XYZError): (J_pt [M,3,3], res [M,3]). Must stay numerically identical
+    to ``prob.xyz_prior_residuals`` — the blocks-mode gradient derives from
+    these aux residuals while the LM accept cost uses the vectorized path."""
+    def row(point, ref, mask):
+        def f(p):
+            res = weight * (p - ref)
+            if th <= 0:
+                out = res * mask
+                return out, out
+            s = jnp.sum(res * res)
+            tiny = 1e-20
+            ratio = losses.rho("cauchy", s, th) / jnp.maximum(s, tiny)
+            w = jnp.sqrt(jnp.where(s > tiny, ratio, 1.0))
+            out = res * (w * mask)
+            return out, out
+        return jax.jacfwd(f, has_aux=True)(point)
+    return jax.vmap(row)(st.points[prior.point_idx], prior.ref_xyz,
+                         prior.mask.astype(st.dtype))
+
+
 def _depth_row_cam_indices(template: prob.RigState, obs: prob.DepthObs,
                            layout: CamLayout) -> np.ndarray:
     """[N, B] indices into the camera vector for depth-row Jacobian columns:
@@ -279,9 +302,14 @@ def inv3x3_spd(A):
     c10 = f * g - dd * i
     c20 = dd * h - e * g
     det = a * c00 + b * c10 + c * c20
-    # zero-inverse for numerically singular blocks (a fully-masked point
-    # never gets one: its damped block is exactly lam*eps*I -> An = I)
-    ok = det > 1e-30
+    # zero-inverse ONLY for det <= 0: damping makes every live block SPD in
+    # exact arithmetic (a fully-masked point's damped block is exactly
+    # lam*eps*I -> An = I), so a nonpositive det is pure rounding noise on a
+    # numerically singular block. Marginal-but-positive dets (rank-deficient
+    # geometry at the lam floor, det ~ lam^2) still get an inverse — the
+    # step may be poor, but the LM accept test rejects it and raises lam,
+    # whereas freezing the block outright can stall convergence.
+    ok = det > 0.0
     inv_det = jnp.where(ok, 1.0, 0.0) / jnp.where(ok, det, 1.0)
     adj = jnp.stack([
         jnp.stack([c00, c * h - b * i, b * f - c * e], axis=-1),
@@ -520,23 +548,6 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
             if j_pt is not None:
                 gp = gp.at[pidx].add(jnp.einsum("nkj,nk->nj", j_pt, ublock))
         return gc, gp
-
-    def _prior_row_blocks(st, prior, weight, th):
-        def row(point, ref, mask):
-            def f(p):
-                res = weight * (p - ref)
-                if th <= 0:
-                    out = res * mask
-                    return out, out
-                s = jnp.sum(res * res)
-                tiny = 1e-20
-                ratio = losses.rho("cauchy", s, th) / jnp.maximum(s, tiny)
-                w = jnp.sqrt(jnp.where(s > tiny, ratio, 1.0))
-                out = res * (w * mask)
-                return out, out
-            return jax.jacfwd(f, has_aux=True)(point)
-        return jax.vmap(row)(st.points[prior.point_idx], prior.ref_xyz,
-                             prior.mask.astype(st.dtype))
 
     def project(cam_vec):
         if lower is not None:

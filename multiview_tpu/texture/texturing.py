@@ -349,6 +349,28 @@ def _render_charts(cam: CameraParams, basis, org, w2c, img, pixel_size,
     return colors.reshape(out_shape)
 
 
+def _chart_tiles(atlas: Atlas, sel: np.ndarray, max_chart: int):
+    """Decompose the charts of ``sel`` into [max_chart]^2 tiles: charts larger
+    than max_chart are rendered as several tiles with shifted 3D origins, so
+    no chart is ever truncated. Returns (tile_face [T], tile_xy [T,2])."""
+    fw = atlas.face_wh[sel, 0]
+    fh = atlas.face_wh[sel, 1]
+    nx = (fw + max_chart - 1) // max_chart
+    ny = (fh + max_chart - 1) // max_chart
+    n_tiles = nx * ny
+    tile_face = np.repeat(sel, n_tiles)
+    tile_xy = np.empty((int(n_tiles.sum()), 2), np.int64)
+    pos = 0
+    for i in range(len(sel)):
+        tys, txs = np.meshgrid(np.arange(ny[i]) * max_chart,
+                               np.arange(nx[i]) * max_chart, indexing="ij")
+        k = int(n_tiles[i])
+        tile_xy[pos:pos + k, 0] = txs.ravel()
+        tile_xy[pos:pos + k, 1] = tys.ravel()
+        pos += k
+    return tile_face, tile_xy
+
+
 def render_atlas(atlas: Atlas, vertices, faces, best_view, visible,
                  images: Sequence, cams: Sequence[CameraParams],
                  world_to_cam_poses, face_gain: Optional[np.ndarray] = None,
@@ -358,9 +380,11 @@ def render_atlas(atlas: Atlas, vertices, faces, best_view, visible,
     its face's chosen view through the full distortion model, and bilinearly
     sampled (projectTexture atlas variant, texture_processing.cc:1165-1433).
 
-    Charts are processed in one batched kernel using a fixed [max_chart]^2
-    texel grid per face (masked to the true chart size). Returns the texture
-    page [H,W] (or [H,W,3] for color images) float in [0,1].
+    Charts are processed in one batched kernel over fixed [max_chart]^2
+    tiles; charts larger than max_chart become several tiles (shifted 3D
+    origins), so every mapped UV texel is filled regardless of face size.
+    Gains may be per-face [F] / [F,C] or per-vertex [V] / [V,C] (per-channel
+    seam leveling). Returns the texture page [H,W] (or [H,W,C]) float [0,1].
     """
     F = len(faces)
     W, H = atlas.size
@@ -377,7 +401,13 @@ def render_atlas(atlas: Atlas, vertices, faces, best_view, visible,
         sel = np.nonzero(visible & (best_view == v))[0]
         if len(sel) == 0:
             continue
-        # fixed-size chart chunks: ONE compiled kernel per (camera, image
+        tile_face, tile_xy = _chart_tiles(atlas, sel, max_chart)
+        # per-tile 3D origin: chart origin shifted by the tile offset
+        basis_t = atlas.face_basis[tile_face]               # [T,2,3]
+        org_t = (atlas.face_origin3d[tile_face]
+                 + tile_xy[:, 0:1] * atlas.pixel_size * basis_t[:, 0]
+                 + tile_xy[:, 1:2] * atlas.pixel_size * basis_t[:, 1])
+        # fixed-size tile chunks: ONE compiled kernel per (camera, image
         # shape) total, instead of per-view eager dispatch (each eager op on
         # a new shape is a remote compile on TPU)
         CHUNK = 2048
@@ -386,25 +416,26 @@ def render_atlas(atlas: Atlas, vertices, faces, best_view, visible,
         cam32 = jax.tree.map(lambda x: x.astype(jnp.float32)
                              if hasattr(x, "dtype") else x, cams[v])
         chunks = []
-        for c0 in range(0, len(sel), CHUNK):
-            part = sel[c0:c0 + CHUNK]
-            pad_n = CHUNK - len(part)
-            part_pad = np.concatenate([part, np.full(pad_n, part[0])]) \
-                if pad_n else part
-            basis = jnp.asarray(atlas.face_basis[part_pad], jnp.float32)
-            org = jnp.asarray(atlas.face_origin3d[part_pad], jnp.float32)
+        for c0 in range(0, len(tile_face), CHUNK):
+            n_part = min(CHUNK, len(tile_face) - c0)
+            idx = np.arange(c0, c0 + n_part)
+            if n_part < CHUNK:
+                idx = np.concatenate([idx, np.full(CHUNK - n_part, idx[0])])
+            basis = jnp.asarray(basis_t[idx], jnp.float32)
+            org = jnp.asarray(org_t[idx], jnp.float32)
             out = _render_charts(cam32, basis, org, w2c, img,
                                  jnp.float32(atlas.pixel_size), max_chart)
-            chunks.append(np.asarray(out)[:len(part)])
+            chunks.append(np.asarray(out)[:n_part])
         colors = np.concatenate(chunks)
         if vertex_gain is not None:
             # barycentric interpolation of per-vertex gains over each chart
-            tri = vertices[faces[sel]]                      # [S,3,3]
-            e = tri - atlas.face_origin3d[sel][:, None, :]
-            tu = np.einsum("sij,sj->si", e, atlas.face_basis[sel][:, 0])
-            tv = np.einsum("sij,sj->si", e, atlas.face_basis[sel][:, 1])
-            px = gx[None] * atlas.pixel_size                # [1,mc,mc]
-            py = gy[None] * atlas.pixel_size
+            vertex_gain = np.asarray(vertex_gain)
+            tri = vertices[faces[tile_face]]                # [T,3,3]
+            e = tri - atlas.face_origin3d[tile_face][:, None, :]
+            tu = np.einsum("sij,sj->si", e, atlas.face_basis[tile_face][:, 0])
+            tv = np.einsum("sij,sj->si", e, atlas.face_basis[tile_face][:, 1])
+            px = (tile_xy[:, 0, None, None] + gx[None]) * atlas.pixel_size
+            py = (tile_xy[:, 1, None, None] + gy[None]) * atlas.pixel_size
             # solve barycentric for each texel in the 2D chart plane
             d = ((tu[:, 1] - tu[:, 0]) * (tv[:, 2] - tv[:, 0])
                  - (tu[:, 2] - tu[:, 0]) * (tv[:, 1] - tv[:, 0]))
@@ -414,20 +445,35 @@ def render_atlas(atlas: Atlas, vertices, faces, best_view, visible,
             w2 = ((py - tv[:, 0, None, None]) * (tu[:, 1] - tu[:, 0])[:, None, None]
                   - (px - tu[:, 0, None, None]) * (tv[:, 1] - tv[:, 0])[:, None, None]) / d
             w0 = 1.0 - w1 - w2
-            vg = vertex_gain[faces[sel]]                    # [S,3]
-            corr = (w0 * vg[:, 0, None, None] + w1 * vg[:, 1, None, None]
-                    + w2 * vg[:, 2, None, None])
-            if channels:
-                corr = corr[..., None]
+            vg = vertex_gain[faces[tile_face]]              # [T,3] or [T,3,C]
+            if vg.ndim == 3:                                # per-channel gains
+                corr = (w0[..., None] * vg[:, 0, None, None, :]
+                        + w1[..., None] * vg[:, 1, None, None, :]
+                        + w2[..., None] * vg[:, 2, None, None, :])
+            else:
+                corr = (w0 * vg[:, 0, None, None] + w1 * vg[:, 1, None, None]
+                        + w2 * vg[:, 2, None, None])
+                if channels:
+                    corr = corr[..., None]
             colors = colors + corr
         elif face_gain is not None:
-            colors = colors + face_gain[sel][:, None, None]
+            face_gain = np.asarray(face_gain)
+            fg = face_gain[tile_face]                       # [T] or [T,C]
+            if fg.ndim == 2:
+                colors = colors + fg[:, None, None, :]
+            else:
+                fg = fg[:, None, None]
+                colors = colors + (fg[..., None] if channels else fg)
 
-        for si, f in enumerate(sel):
-            fw, fh = atlas.face_wh[f]
-            fw, fh = min(int(fw), max_chart), min(int(fh), max_chart)
+        fw_all = atlas.face_wh[:, 0]
+        fh_all = atlas.face_wh[:, 1]
+        for ti in range(len(tile_face)):
+            f = tile_face[ti]
+            tx, ty = int(tile_xy[ti, 0]), int(tile_xy[ti, 1])
+            tw = min(max_chart, int(fw_all[f]) - tx)
+            th = min(max_chart, int(fh_all[f]) - ty)
             x0, y0 = atlas.face_uv0[f]
-            page[y0:y0 + fh, x0:x0 + fw] = colors[si, :fh, :fw]
+            page[y0 + ty:y0 + ty + th, x0 + tx:x0 + tx + tw] = colors[ti, :th, :tw]
     return np.clip(page, 0.0, 1.0)
 
 
@@ -438,18 +484,21 @@ def render_atlas(atlas: Atlas, vertices, faces, best_view, visible,
 
 def vertex_gains_from_faces(num_vertices: int, faces: np.ndarray,
                             face_gains: np.ndarray) -> np.ndarray:
-    """Local seam leveling: average the per-face gains onto vertices.
+    """Average per-face gains onto vertices ([F] or [F,C] -> [V] or [V,C]).
 
     The interpolated per-vertex field is C0-continuous across every edge, so
-    brightness steps at view seams vanish entirely instead of only shrinking
-    — the role of texrecon's local (Poisson) seam leveling on top of the
-    global per-face solve."""
-    sums = np.zeros(num_vertices)
+    the low-frequency part of the seam step vanishes; residual per-texel
+    seams are handled by ``local_seam_leveling`` (the Poisson step)."""
+    face_gains = np.asarray(face_gains)
+    squeeze = face_gains.ndim == 1
+    fg = face_gains[:, None] if squeeze else face_gains
+    sums = np.zeros((num_vertices, fg.shape[1]))
     counts = np.zeros(num_vertices)
     for k in range(3):
-        np.add.at(sums, faces[:, k], face_gains)
+        np.add.at(sums, faces[:, k], fg)
         np.add.at(counts, faces[:, k], 1.0)
-    return sums / np.maximum(counts, 1.0)
+    out = sums / np.maximum(counts, 1.0)[:, None]
+    return out[:, 0] if squeeze else out
 
 
 def face_adjacency(faces: np.ndarray) -> np.ndarray:
@@ -472,32 +521,286 @@ def global_seam_leveling(face_colors: np.ndarray, best_view: np.ndarray,
     """Per-face additive gain g minimizing
     sum_adj (g_a - g_b + c_a - c_b)^2 [only across view seams] + reg*sum g^2
     — texrecon's global seam leveling reduced to the face graph, solved with
-    Jacobi sweeps in JAX. face_colors: [F] mean sampled luminance per face.
-    Returns gains [F]."""
+    Jacobi sweeps in JAX. face_colors: [F] mean sampled luminance per face,
+    or [F,C] for independent per-channel gains (texrecon levels each color
+    channel separately). Returns gains of the same shape."""
+    face_colors = np.asarray(face_colors)
     if len(adjacency) == 0:
-        return np.zeros(len(face_colors))
+        return np.zeros(face_colors.shape)
+    squeeze = face_colors.ndim == 1
+    fc = face_colors[:, None] if squeeze else face_colors
     a = jnp.asarray(adjacency[:, 0])
     b = jnp.asarray(adjacency[:, 1])
     seam = (jnp.asarray(best_view)[a] != jnp.asarray(best_view)[b]).astype(jnp.float32)
     # seam edges demand g_a - g_b = c_b - c_a; same-view edges act as
     # smoothness (target 0, lower weight) so corrections diffuse into charts
-    w = jnp.where(seam > 0, 1.0, 0.25)
-    c = jnp.asarray(face_colors, jnp.float32)
-    target = (c[b] - c[a]) * seam
-    F = len(face_colors)
-    denom = jnp.full(F, reg, jnp.float32)
+    w = jnp.where(seam > 0, 1.0, 0.25)[:, None]
+    c = jnp.asarray(fc, jnp.float32)                        # [F,C]
+    target = (c[b] - c[a]) * seam[:, None]
+    F = fc.shape[0]
+    denom = jnp.full((F, 1), reg, jnp.float32)
     denom = denom.at[a].add(w).at[b].add(w)
 
     omega = 0.7  # damped Jacobi: plain Jacobi oscillates on seam pairs
 
     def sweep(_, g):
-        rhs = jnp.zeros(F, jnp.float32)
+        rhs = jnp.zeros(c.shape, jnp.float32)
         rhs = rhs.at[a].add(w * (g[b] + target))
         rhs = rhs.at[b].add(w * (g[a] - target))
         return (1.0 - omega) * g + omega * rhs / denom
 
-    g = jax.lax.fori_loop(0, iterations, sweep, jnp.zeros(F, jnp.float32))
-    return np.asarray(g)
+    g = jax.lax.fori_loop(0, iterations, sweep, jnp.zeros(c.shape, jnp.float32))
+    g = np.asarray(g)
+    return g[:, 0] if squeeze else g
+
+
+# ----------------------------------------------------------------------------
+# Local (Poisson) seam leveling + seam metrics
+# ----------------------------------------------------------------------------
+
+
+def shared_edge_vertices(faces: np.ndarray, adjacency: np.ndarray):
+    """For each adjacency pair, the two shared vertex ids.
+
+    Returns (pairs [E',2] rows of ``adjacency`` that share exactly one edge,
+    verts [E',2] the edge's endpoint vertex ids). Vectorized host-side."""
+    faces = np.asarray(faces)
+    adjacency = np.asarray(adjacency).reshape(-1, 2)
+    A = faces[adjacency[:, 0]]                      # [E,3]
+    B = faces[adjacency[:, 1]]
+    shared = (A[:, :, None] == B[:, None, :]).any(axis=2)   # [E,3]
+    ok = shared.sum(axis=1) == 2
+    e_idx, slot = np.nonzero(shared & ok[:, None])
+    verts = A[e_idx, slot].reshape(-1, 2)
+    return adjacency[ok], verts
+
+
+def _bilinear_np(img: np.ndarray, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Host bilinear sample of [H,W(,C)] at float coords (x,y)."""
+    H, W = img.shape[:2]
+    x0 = np.clip(np.floor(x).astype(np.int64), 0, W - 2)
+    y0 = np.clip(np.floor(y).astype(np.int64), 0, H - 2)
+    fx = np.clip(x - x0, 0.0, 1.0)
+    fy = np.clip(y - y0, 0.0, 1.0)
+    if img.ndim == 3:
+        fx = fx[..., None]
+        fy = fy[..., None]
+    return (img[y0, x0] * (1 - fx) * (1 - fy) + img[y0, x0 + 1] * fx * (1 - fy)
+            + img[y0 + 1, x0] * (1 - fx) * fy + img[y0 + 1, x0 + 1] * fx * fy)
+
+
+def _edge_samples(page: np.ndarray, atlas: Atlas, vertices, faces,
+                  pairs: np.ndarray, edge_verts: np.ndarray,
+                  samples_per_edge: int = 8, inset_texels: float = 0.75):
+    """Sample the rendered page on BOTH sides of each shared face edge.
+
+    Each edge is sampled at K interior points; for each of its two faces the
+    sample point is pulled ``inset_texels`` toward that face's centroid (so
+    the bilinear read stays inside the face's own chart). Returns
+    (chart_xy [E,2,K,2] per-face chart-local texel coords,
+     colors [E,2,K(,C)] page colors on each side)."""
+    vertices = np.asarray(vertices)
+    faces = np.asarray(faces)
+    K = samples_per_edge
+    t = (np.arange(K) + 0.5) / K
+    v0 = vertices[edge_verts[:, 0]]
+    v1 = vertices[edge_verts[:, 1]]
+    P = v0[:, None, :] + t[None, :, None] * (v1 - v0)[:, None, :]  # [E,K,3]
+
+    chart_xy = np.empty((len(pairs), 2, K, 2))
+    cols_shape = (len(pairs), 2, K) + page.shape[2:]
+    colors = np.empty(cols_shape, np.float32)
+    for side in range(2):
+        f = pairs[:, side]
+        ctr = vertices[faces[f]].mean(axis=1)       # [E,3]
+        d = ctr[:, None, :] - P
+        d = d / np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-30)
+        Pf = P + inset_texels * atlas.pixel_size * d
+        rel = Pf - atlas.face_origin3d[f][:, None, :]
+        cx = np.einsum("ekj,ej->ek", rel, atlas.face_basis[f, 0]) / atlas.pixel_size
+        cy = np.einsum("ekj,ej->ek", rel, atlas.face_basis[f, 1]) / atlas.pixel_size
+        cx = np.clip(cx, 0.0, atlas.face_wh[f, 0:1] - 1.0)
+        cy = np.clip(cy, 0.0, atlas.face_wh[f, 1:2] - 1.0)
+        chart_xy[:, side, :, 0] = cx
+        chart_xy[:, side, :, 1] = cy
+        colors[:, side] = _bilinear_np(page,
+                                       atlas.face_uv0[f, 0:1] + cx,
+                                       atlas.face_uv0[f, 1:2] + cy)
+    return chart_xy, colors
+
+
+def seam_step_stats(page: np.ndarray, atlas: Atlas, vertices, faces,
+                    best_view, visible, adjacency: np.ndarray,
+                    samples_per_edge: int = 8):
+    """Per-edge color step statistics of a rendered page — the texturing
+    quality metric (mean |color difference| across each shared edge, sampled
+    at texel resolution). Returns a dict with seam-edge (different views)
+    and interior-edge (same view) stats."""
+    best_view = np.asarray(best_view)
+    visible = np.asarray(visible)
+    pairs, edge_verts = shared_edge_vertices(faces, adjacency)
+    keep = visible[pairs[:, 0]] & visible[pairs[:, 1]]
+    pairs, edge_verts = pairs[keep], edge_verts[keep]
+    if len(pairs) == 0:
+        return dict(num_seam_edges=0, num_interior_edges=0)
+    _, colors = _edge_samples(page, atlas, vertices, faces, pairs, edge_verts,
+                              samples_per_edge)
+    diff = np.abs(colors[:, 0] - colors[:, 1])      # [E,K(,C)]
+    step = diff.reshape(len(pairs), -1).mean(axis=1)
+    seam = best_view[pairs[:, 0]] != best_view[pairs[:, 1]]
+    out = dict(num_seam_edges=int(seam.sum()),
+               num_interior_edges=int((~seam).sum()))
+    for name, m in (("seam", seam), ("interior", ~seam)):
+        if m.any():
+            out[f"{name}_mean"] = float(step[m].mean())
+            out[f"{name}_median"] = float(np.median(step[m]))
+            out[f"{name}_max"] = float(step[m].max())
+    return out
+
+
+def _jacobi_dirichlet(corr, dval, dmask, iterations):
+    """Damped-free Jacobi harmonic fill with Dirichlet cells and replicated
+    (Neumann) borders. corr/dval [N,G,G,C], dmask [N,G,G,1] bool."""
+    for _ in range(iterations):
+        n = (np.concatenate([corr[:, :1], corr[:, :-1]], axis=1)
+             + np.concatenate([corr[:, 1:], corr[:, -1:]], axis=1)
+             + np.concatenate([corr[:, :, :1], corr[:, :, :-1]], axis=2)
+             + np.concatenate([corr[:, :, 1:], corr[:, :, -1:]], axis=2)) * 0.25
+        corr = np.where(dmask, dval, n)
+    return corr
+
+
+def local_seam_leveling(page: np.ndarray, atlas: Atlas, vertices, faces,
+                        best_view, visible, adjacency: np.ndarray,
+                        grid: int = 32, iterations: int = 60,
+                        samples_per_edge: int = 8, max_chart: int = 64,
+                        chunk: int = 8192) -> np.ndarray:
+    """Per-texel local seam leveling — the role of texrecon's Poisson texel
+    editing (`/root/reference/rig_calibrator/bin/texrecon:132-154`,
+    SURVEY.md texrecon row): after global gains, residual per-texel seams
+    (parallax, misregistration, high-frequency exposure structure) remain.
+
+    For every shared face edge, the page is sampled on both sides; each face
+    receives Dirichlet constraints along that edge pulling its colors to the
+    two-side mean, and a per-face harmonic correction field is solved on a
+    coarse [grid]^2 chart raster (multigrid Jacobi) and bilinearly upsampled
+    onto the chart texels. Corrections meet at every edge midpoint by
+    construction, so the result is C0 across seams at texel resolution.
+
+    Returns the corrected page (same shape)."""
+    best_view = np.asarray(best_view)
+    visible = np.asarray(visible)
+    faces = np.asarray(faces)
+    F = len(faces)
+    channels = page.shape[2] if page.ndim == 3 else 1
+    pairs, edge_verts = shared_edge_vertices(faces, adjacency)
+    keep = visible[pairs[:, 0]] & visible[pairs[:, 1]]
+    pairs, edge_verts = pairs[keep], edge_verts[keep]
+    if len(pairs) == 0:
+        return page
+
+    chart_xy, colors = _edge_samples(page, atlas, vertices, faces, pairs,
+                                     edge_verts, samples_per_edge)
+    colors = colors.reshape(len(pairs), 2, samples_per_edge, channels)
+    mean_col = colors.mean(axis=1, keepdims=True)
+    targets = mean_col - colors                     # [E,2,K,C] per-side pull
+
+    # scatter constraints onto each face's [grid]^2 raster (normalized chart
+    # coords; the raster is later bilinearly stretched over the true chart)
+    fw = np.maximum(atlas.face_wh[:, 0] - 1.0, 1.0)
+    fh = np.maximum(atlas.face_wh[:, 1] - 1.0, 1.0)
+
+    def scatter(G):
+        tsum = np.zeros((F, G, G, channels), np.float32)
+        wcnt = np.zeros((F, G, G, 1), np.float32)
+        for side in range(2):
+            f = pairs[:, side]
+            cgx = np.rint(chart_xy[:, side, :, 0] / fw[f, None] * (G - 1)).astype(np.int64)
+            cgy = np.rint(chart_xy[:, side, :, 1] / fh[f, None] * (G - 1)).astype(np.int64)
+            ff = np.repeat(f, samples_per_edge)
+            np.add.at(tsum, (ff, cgy.ravel(), cgx.ravel()),
+                      targets[:, side].reshape(-1, channels))
+            np.add.at(wcnt, (ff, cgy.ravel(), cgx.ravel()), 1.0)
+        dmask = wcnt > 0
+        dval = tsum / np.maximum(wcnt, 1.0)
+        return dval, dmask
+
+    # coarse-to-fine harmonic fill (Jacobi alone needs O(G^2) sweeps)
+    levels = []
+    G = grid
+    while G >= 8:
+        levels.append(G)
+        G //= 2
+    levels = levels[::-1]
+    fields = None
+    for G in levels:
+        dval, dmask = scatter(G)
+        for c0 in range(0, F, chunk):
+            sl = slice(c0, min(c0 + chunk, F))
+            if fields is None:
+                cur = np.zeros((sl.stop - sl.start, G, G, channels), np.float32)
+            else:
+                cur = fields[sl].repeat(2, axis=1).repeat(2, axis=2)[:, :G, :G]
+            out = _jacobi_dirichlet(cur, dval[sl], dmask[sl], iterations)
+            if c0 == 0:
+                new_fields = np.empty((F, G, G, channels), np.float32)
+            new_fields[sl] = out
+        fields = new_fields
+
+    # apply: bilinearly upsample each face's field over its chart texels
+    G = levels[-1]
+    sel = np.nonzero(visible)[0]
+    tile_face, tile_xy = _chart_tiles(atlas, sel, max_chart)
+    gy, gx = np.meshgrid(np.arange(max_chart), np.arange(max_chart), indexing="ij")
+    out_page = page.copy()
+    fw_all = atlas.face_wh[:, 0]
+    fh_all = atlas.face_wh[:, 1]
+    for c0 in range(0, len(tile_face), chunk):
+        tf = tile_face[c0:c0 + chunk]
+        txy = tile_xy[c0:c0 + chunk]
+        gxn = (txy[:, 0, None, None] + gx[None]) / fw[tf, None, None] * (G - 1)
+        gyn = (txy[:, 1, None, None] + gy[None]) / fh[tf, None, None] * (G - 1)
+        gxn = np.clip(gxn, 0, G - 1)
+        gyn = np.clip(gyn, 0, G - 1)
+        x0 = np.floor(gxn).astype(np.int64)
+        y0 = np.floor(gyn).astype(np.int64)
+        x1 = np.minimum(x0 + 1, G - 1)
+        y1 = np.minimum(y0 + 1, G - 1)
+        fx = (gxn - x0)[..., None]
+        fy = (gyn - y0)[..., None]
+        fidx = tf[:, None, None]
+        corr = (fields[fidx, y0, x0] * (1 - fx) * (1 - fy)
+                + fields[fidx, y0, x1] * fx * (1 - fy)
+                + fields[fidx, y1, x0] * (1 - fx) * fy
+                + fields[fidx, y1, x1] * fx * fy)       # [T,mc,mc,C]
+        if page.ndim == 2:
+            corr = corr[..., 0]
+        for ti in range(len(tf)):
+            f = tf[ti]
+            tx, ty = int(txy[ti, 0]), int(txy[ti, 1])
+            tw = min(max_chart, int(fw_all[f]) - tx)
+            th = min(max_chart, int(fh_all[f]) - ty)
+            px0, py0 = atlas.face_uv0[f]
+            out_page[py0 + ty:py0 + ty + th, px0 + tx:px0 + tx + tw] += \
+                corr[ti, :th, :tw]
+    return np.clip(out_page, 0.0, 1.0)
+
+
+def mrf_energy(cost, labels, neighbors, smoothness: float) -> float:
+    """Potts MRF energy of a view-selection labeling: data term + smoothness
+    (half the directed disagreement count — each undirected edge appears in
+    both faces' neighbor lists). Infinite/unlabeled faces contribute no data
+    term. The quality metric for comparing argmin vs ICM labelings."""
+    cost = np.asarray(cost)
+    labels = np.asarray(labels)
+    nbr = np.asarray(neighbors)
+    F = cost.shape[0]
+    data = cost[np.arange(F), labels]
+    data = np.where(np.isfinite(data), data, 0.0).sum()
+    valid = nbr >= 0
+    nl = labels[np.maximum(nbr, 0)]
+    mismatch = ((nl != labels[:, None]) & valid).sum() / 2.0
+    return float(data + smoothness * mismatch)
 
 
 # ----------------------------------------------------------------------------

@@ -49,14 +49,29 @@ def load_gray(path) -> np.ndarray:
     return img
 
 
+def load_color(path) -> np.ndarray:
+    """[H,W,3] float in [0,1] — the texturing path textures in color like
+    the reference (`bin/texrecon:108-131,164-173` feeds BGR jpgs into
+    texrecon); grayscale sources are replicated across channels."""
+    import imageio.v3 as iio
+    img = np.asarray(iio.imread(path)).astype(np.float32)
+    if img.ndim == 2:
+        img = np.repeat(img[..., None], 3, axis=-1)
+    img = img[..., :3]
+    if img.max() > 1.5:
+        img = img / 255.0
+    return img
+
+
 IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".tif", ".tiff", ".pgm")
 
 
-def scan_image_dir(images_dir, sensor_names: Sequence[str], load: bool = True
-                   ) -> List[List[ImageRecord]]:
+def scan_image_dir(images_dir, sensor_names: Sequence[str], load: bool = True,
+                   color: bool = False) -> List[List[ImageRecord]]:
     """Per-sensor time-sorted ImageRecords; timestamp parsed from the file
     stem (the reference's <sensor>/<timestamp>.ext layout)."""
     images_dir = Path(images_dir)
+    loader = load_color if color else load_gray
     out: List[List[ImageRecord]] = []
     for name in sensor_names:
         recs = []
@@ -69,7 +84,7 @@ def scan_image_dir(images_dir, sensor_names: Sequence[str], load: bool = True
                     ts = float(p.stem)
                 except ValueError:
                     continue
-                recs.append(ImageRecord(ts, str(p), load_gray(p) if load else None))
+                recs.append(ImageRecord(ts, str(p), loader(p) if load else None))
         recs.sort(key=lambda r: r.timestamp)
         out.append(recs)
     return out

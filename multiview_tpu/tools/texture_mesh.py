@@ -21,10 +21,16 @@ def add_args(p: argparse.ArgumentParser):
     p.add_argument("--pixel_size", type=float, default=0.01,
                    help="texel size in meters (texture_processing.cc formModel)")
     p.add_argument("--no_seam_leveling", action="store_true")
+    p.add_argument("--no_local_seam_leveling", action="store_true",
+                   help="disable the per-texel Poisson seam step (texrecon's "
+                        "local seam leveling)")
     p.add_argument("--no_occlusion", action="store_true")
     p.add_argument("--no_gauss_clamping", action="store_true",
                    help="disable photometric outlier removal (texrecon's "
                         "default outlier_removal is gauss_clamping)")
+    p.add_argument("--grayscale", action="store_true",
+                   help="texture in grayscale; default is color like the "
+                        "reference (bin/texrecon feeds BGR jpgs)")
     p.add_argument("--smoothness_weight", type=float, default=0.1,
                    help="Potts smoothness of the view-selection MRF "
                         "(mapmap's role in texrecon); 0 = pure best-cost")
@@ -48,7 +54,8 @@ def run(args):
     faces = mesh["faces"]
     print(f"Mesh: {len(verts)} verts, {len(faces)} faces")
 
-    image_data = common.scan_image_dir(args.images, sensor_names)
+    image_data = common.scan_image_dir(args.images, sensor_names,
+                                       color=not args.grayscale)
     images, poses, cams = [], [], []
     for s, recs in enumerate(image_data):
         if args.sensor and sensor_names[s] != args.sensor:
@@ -79,16 +86,26 @@ def run(args):
         nbr = texturing.face_neighbors(faces, adjacency)
         best, visible = texturing.mrf_view_selection(
             cost, jnp.isfinite(cost), nbr, smoothness=args.smoothness_weight)
+        # quality metric: the MRF labeling must not be worse than pure argmin
+        # at the same energy (mapmap's role; SURVEY.md 2.2)
+        argmin = np.asarray(jnp.argmin(cost, axis=-1))
+        e_icm = texturing.mrf_energy(np.asarray(cost), np.asarray(best), nbr,
+                                     args.smoothness_weight)
+        e_arg = texturing.mrf_energy(np.asarray(cost), argmin, nbr,
+                                     args.smoothness_weight)
+        print(f"MRF energy: argmin {e_arg:.4f} -> ICM {e_icm:.4f}")
     else:
         best = jnp.argmin(cost, axis=-1).astype(jnp.int32)
         visible = jnp.isfinite(jnp.min(cost, axis=-1))
     atlas = texturing.build_atlas(verts, faces, pixel_size=args.pixel_size)
 
     gains = None
+    channels = 1 if args.grayscale else 3
     if not args.no_seam_leveling:
-        # per-face mean luminance from a coarse sample (face centers)
+        # per-face mean color from a coarse sample (face centers); gains are
+        # solved per channel (texrecon levels each color channel separately)
         ctr, _, _ = texturing.face_geometry(jnp.asarray(verts), jnp.asarray(faces))
-        face_lum = np.zeros(len(faces))
+        face_col = np.zeros((len(faces), channels))
         bv = np.asarray(best)
         for v in range(len(images)):
             sel = np.nonzero(np.asarray(visible) & (bv == v))[0]
@@ -98,14 +115,27 @@ def run(args):
             pix = cams[v].project_cam_to_dist_pix(Xc)
             img = jnp.asarray(np.asarray(images[v], np.float32))
             from multiview_tpu.texture.texturing import _bilinear
-            face_lum[sel] = np.asarray(_bilinear(img, pix[:, 0], pix[:, 1]))
-        gains = texturing.global_seam_leveling(face_lum, bv, adjacency)
+            face_col[sel] = np.asarray(
+                _bilinear(img, pix[:, 0], pix[:, 1])).reshape(len(sel), channels)
+        if args.grayscale:
+            face_col = face_col[:, 0]
+        gains = texturing.global_seam_leveling(face_col, bv, adjacency)
 
     vgains = (texturing.vertex_gains_from_faces(len(verts), faces, gains)
               if gains is not None else None)
     page = texturing.render_atlas(atlas, verts, faces, best, visible, images,
                                   cams, list(poses_j), face_gain=gains,
                                   vertex_gain=vgains)
+    if len(adjacency):
+        stats = texturing.seam_step_stats(page, atlas, verts, faces, best,
+                                          visible, adjacency)
+        print(f"Seam step before local leveling: {stats}")
+    if not args.no_local_seam_leveling and len(adjacency):
+        page = texturing.local_seam_leveling(page, atlas, verts, faces, best,
+                                             visible, adjacency)
+        stats = texturing.seam_step_stats(page, atlas, verts, faces, best,
+                                          visible, adjacency)
+        print(f"Seam step after local leveling: {stats}")
     out = Path(args.out_dir)
     obj = texturing.write_textured_obj(out / "textured_mesh", verts, faces,
                                        atlas, page)

@@ -170,3 +170,49 @@ class TestDepthMeshConstraint:
         med = res.stats_after["depth_mesh_x_m"][1]
         assert med < 2e-3, f"depth_mesh median {med}"
         assert res.stats_after["cam0_pix_x"][1] < 0.2
+
+
+class TestAuxResidualParity:
+    """The blocks-mode gradient derives from the jacrev-aux residuals while
+    the LM cost uses prob.all_residuals — the two implementations must stay
+    numerically identical for EVERY family (round-1 ADVICE: pixel/depth-tri
+    were covered; depth-mesh and xyz priors were not)."""
+
+    def test_depth_mesh_aux_matches_vectorized(self):
+        from multiview_tpu.solver import schur
+        scene = make_depth_scene()
+        st = scene.true_state
+        obs = scene.observations.depths[0]
+        # synthetic mesh intersections: true point + offset, with misses
+        rng = np.random.default_rng(0)
+        N = len(obs)
+        mesh_xyz = np.asarray(st.points)[np.asarray(obs.point_idx)] \
+            + 0.01 * rng.normal(size=(N, 3))
+        mesh_mask = rng.uniform(size=N) > 0.3
+        # NaNs at misses must never reach the residual (masked zeroing)
+        mesh_xyz[~mesh_mask] = np.nan
+        obs = dataclasses.replace(obs, mesh_xyz=jnp.asarray(mesh_xyz),
+                                  mesh_mask=jnp.asarray(mesh_mask))
+        opts = prob.BAOptions(depth_mesh_weight=7.0)
+        _, _, r_aux = schur._depth_row_blocks(st, obs, opts, mesh_variant=True)
+        r_vec = prob.depth_mesh_residuals(st, obs, opts)
+        assert np.isfinite(np.asarray(r_aux)).all()
+        np.testing.assert_allclose(np.asarray(r_aux), np.asarray(r_vec),
+                                   atol=1e-12)
+
+    def test_xyz_prior_aux_matches_vectorized(self):
+        from multiview_tpu.solver import schur
+        scene = make_depth_scene()
+        st = scene.true_state
+        rng = np.random.default_rng(1)
+        P = st.points.shape[0]
+        prior = prob.XyzPriorObs(
+            ref_xyz=jnp.asarray(np.asarray(st.points)
+                                + 0.05 * rng.normal(size=(P, 3))),
+            point_idx=jnp.arange(P),
+            mask=jnp.asarray(rng.uniform(size=P) > 0.2))
+        for weight, th in ((3.0, 0.1), (2.0, 0.0)):  # robust + plain l2
+            _, r_aux = schur._prior_row_blocks(st, prior, weight, th)
+            r_vec = prob.xyz_prior_residuals(st, prior, weight, th)
+            np.testing.assert_allclose(np.asarray(r_aux), np.asarray(r_vec),
+                                       atol=1e-12)

@@ -358,3 +358,182 @@ class TestMeshProject:
         assert _P(prefix + ".png").exists()
         text = _P(prefix + ".obj").read_text()
         assert text.count("\nf ") == 2 and "vt " in text
+
+
+class TestTiledRendering:
+    """Charts larger than max_chart render as multiple tiles — no truncation
+    (round-1 VERDICT correctness bug: faces wider than max_chart texels left
+    black texels inside their mapped UV region)."""
+
+    def _scene(self, half=0.5, pixel_size=0.02):
+        verts, faces = make_quad_mesh(half=half)
+        cam_pose = syn.look_at_pose(np.array([0.0, 1e-6, 2.0]), np.zeros(3))
+        cam = CameraParams.create((200, 200), (200.0, 200.0), (100.0, 100.0))
+        yy, xx = np.meshgrid(np.arange(200), np.arange(200), indexing="ij")
+        img = (((xx // 10) + (yy // 10)) % 2).astype(np.float32) * 0.6 + 0.2
+        best, visible = texturing.view_selection(
+            jnp.asarray(verts), jnp.asarray(faces),
+            jnp.asarray(cam_pose)[None], occlusion=False)
+        atlas = texturing.build_atlas(verts, faces, pixel_size=pixel_size)
+        return verts, faces, cam, cam_pose, img, best, visible, atlas
+
+    def test_tiled_matches_untiled(self):
+        """max_chart smaller than the chart gives the same page as one that
+        fits the whole chart."""
+        verts, faces, cam, cam_pose, img, best, visible, atlas = self._scene()
+        # charts are ~51 texels: max_chart=64 renders untiled, 16 tiles 4x4
+        assert atlas.face_wh.max() > 16
+        page_big = texturing.render_atlas(atlas, verts, faces, best, visible,
+                                          [img], [cam], [jnp.asarray(cam_pose)],
+                                          max_chart=64)
+        page_tiled = texturing.render_atlas(atlas, verts, faces, best, visible,
+                                            [img], [cam], [jnp.asarray(cam_pose)],
+                                            max_chart=16)
+        np.testing.assert_allclose(page_tiled, page_big, atol=1e-5)
+
+    def test_no_black_texels_inside_charts(self):
+        """With a bright image, every texel inside every chart's mapped
+        region is filled (nonzero) even when the chart exceeds max_chart."""
+        verts, faces, cam, cam_pose, _, best, visible, atlas = self._scene()
+        img = np.full((200, 200), 0.8, np.float32)
+        page = texturing.render_atlas(atlas, verts, faces, best, visible,
+                                      [img], [cam], [jnp.asarray(cam_pose)],
+                                      max_chart=16)
+        for f in range(len(faces)):
+            x0, y0 = atlas.face_uv0[f]
+            w, h = atlas.face_wh[f]
+            chart = page[y0:y0 + h, x0:x0 + w]
+            assert (chart > 0.5).all(), f"unfilled texels in chart {f}"
+
+    def test_tiled_vertex_gain_matches(self):
+        verts, faces, cam, cam_pose, img, best, visible, atlas = self._scene()
+        vg = np.array([0.2, -0.1, 0.05, 0.15])
+        a = texturing.render_atlas(atlas, verts, faces, best, visible, [img],
+                                   [cam], [jnp.asarray(cam_pose)],
+                                   vertex_gain=vg, max_chart=64)
+        b = texturing.render_atlas(atlas, verts, faces, best, visible, [img],
+                                   [cam], [jnp.asarray(cam_pose)],
+                                   vertex_gain=vg, max_chart=16)
+        np.testing.assert_allclose(b, a, atol=1e-5)
+
+
+class TestColorTexturing:
+    def test_color_page_and_channel_gains(self):
+        """RGB images produce an RGB page; per-channel vertex gains apply
+        channel-wise."""
+        verts, faces = make_quad_mesh(half=0.5)
+        cam_pose = syn.look_at_pose(np.array([0.0, 1e-6, 2.0]), np.zeros(3))
+        cam = CameraParams.create((100, 100), (100.0, 100.0), (50.0, 50.0))
+        img = np.zeros((100, 100, 3), np.float32)
+        img[..., 0] = 0.2
+        img[..., 1] = 0.5
+        img[..., 2] = 0.7
+        best, visible = texturing.view_selection(
+            jnp.asarray(verts), jnp.asarray(faces),
+            jnp.asarray(cam_pose)[None], occlusion=False)
+        atlas = texturing.build_atlas(verts, faces, pixel_size=0.05)
+        vg = np.zeros((4, 3))
+        vg[:, 0] = 0.1          # lift red everywhere
+        page = texturing.render_atlas(atlas, verts, faces, best, visible,
+                                      [img], [cam], [jnp.asarray(cam_pose)],
+                                      vertex_gain=vg, max_chart=32)
+        assert page.ndim == 3 and page.shape[2] == 3
+        x0, y0 = atlas.face_uv0[0]
+        c = page[y0 + 2, x0 + 2]
+        np.testing.assert_allclose(c, [0.3, 0.5, 0.7], atol=1e-4)
+
+    def test_channel_global_gains(self):
+        """Per-channel global leveling solves each channel independently."""
+        best_view = np.array([0, 0, 0, 1, 1, 1])
+        colors = np.zeros((6, 2))
+        colors[:, 0] = np.where(best_view == 0, 0.3, 0.7)   # red offset
+        colors[:, 1] = 0.5                                   # green consistent
+        adjacency = np.array([[i, i + 1] for i in range(5)], np.int32)
+        g = texturing.global_seam_leveling(colors, best_view, adjacency,
+                                           reg=1e-6, iterations=3000)
+        corrected = colors + g
+        assert abs(corrected[2, 0] - corrected[3, 0]) < 1e-3
+        np.testing.assert_allclose(g[:, 1], 0.0, atol=1e-5)
+
+
+class TestLocalPoissonSeamLeveling:
+    def _two_view_scene(self, gamma=1.2):
+        """Ground quad seen by two cameras whose images differ by a gamma
+        curve; view assignment is forced to split at the diagonal."""
+        verts, faces = make_quad_mesh(half=0.5)
+        p0 = syn.look_at_pose(np.array([0.1, 1e-6, 2.0]), np.zeros(3))
+        p1 = syn.look_at_pose(np.array([-0.1, 1e-6, 2.0]), np.zeros(3))
+        cam = CameraParams.create((200, 200), (200.0, 200.0), (100.0, 100.0))
+        yy, xx = np.meshgrid(np.arange(200), np.arange(200), indexing="ij")
+        base = 0.25 + 0.5 * (xx / 200.0).astype(np.float32)
+        img0 = base
+        img1 = base ** gamma          # exposure/gamma mismatch
+        best = np.array([0, 1], np.int32)
+        visible = np.array([True, True])
+        atlas = texturing.build_atlas(verts, faces, pixel_size=0.02)
+        adjacency = texturing.face_adjacency(faces)
+        return (verts, faces, [cam, cam], [jnp.asarray(p0), jnp.asarray(p1)],
+                [img0, img1], best, visible, atlas, adjacency)
+
+    def test_seam_step_below_one_percent(self):
+        """VERDICT round-2 criterion: a deliberate gamma exposure mismatch
+        leaves a seam step < 1% after global + local leveling, measured
+        across every seam edge."""
+        (verts, faces, cams, poses, images, best, visible, atlas,
+         adjacency) = self._two_view_scene()
+        # global per-face gains from face-center colors
+        ctr, _, _ = texturing.face_geometry(jnp.asarray(verts), jnp.asarray(faces))
+        from multiview_tpu.geometry import pose as pose_mod
+        face_col = np.zeros(len(faces))
+        for v in range(2):
+            sel = np.nonzero(best == v)[0]
+            Xc = pose_mod.pose_apply(poses[v], ctr[sel])
+            pix = cams[v].project_cam_to_dist_pix(Xc)
+            from multiview_tpu.texture.texturing import _bilinear
+            face_col[sel] = np.asarray(_bilinear(jnp.asarray(images[v]),
+                                                 pix[:, 0], pix[:, 1]))
+        gains = texturing.global_seam_leveling(face_col, best, adjacency)
+        vg = texturing.vertex_gains_from_faces(len(verts), faces, gains)
+        page = texturing.render_atlas(atlas, verts, faces, best, visible,
+                                      images, cams, poses, vertex_gain=vg,
+                                      max_chart=64)
+        before = texturing.seam_step_stats(page, atlas, verts, faces, best,
+                                           visible, adjacency)
+        page2 = texturing.local_seam_leveling(page, atlas, verts, faces, best,
+                                              visible, adjacency)
+        after = texturing.seam_step_stats(page2, atlas, verts, faces, best,
+                                          visible, adjacency)
+        assert after["seam_max"] < 0.01, (before, after)
+        assert after["seam_max"] <= before["seam_max"] + 1e-9
+
+    def test_noop_on_consistent_views(self):
+        """Identical images on both sides: the correction is ~zero."""
+        (verts, faces, cams, poses, images, best, visible, atlas,
+         adjacency) = self._two_view_scene(gamma=1.0)
+        page = texturing.render_atlas(atlas, verts, faces, best, visible,
+                                      images, cams, poses, max_chart=64)
+        page2 = texturing.local_seam_leveling(page, atlas, verts, faces, best,
+                                              visible, adjacency)
+        assert np.abs(page2 - page).max() < 5e-3
+
+    def test_shared_edge_vertices(self):
+        verts, faces = make_quad_mesh()
+        adjacency = texturing.face_adjacency(faces)
+        pairs, ev = texturing.shared_edge_vertices(faces, adjacency)
+        assert len(pairs) == 1
+        assert sorted(ev[0]) == [0, 2]      # the quad diagonal
+
+
+class TestMrfEnergy:
+    def test_icm_not_worse_than_argmin(self):
+        F, V = 5, 2
+        cost = np.full((F, V), 1.0)
+        cost[:, 0] = 0.5
+        cost[2, 0], cost[2, 1] = 0.6, 0.55
+        adjacency = np.array([[i, i + 1] for i in range(F - 1)], np.int32)
+        nbr = texturing.face_neighbors(np.zeros((F, 3), np.int32), adjacency)
+        labels, _ = texturing.mrf_view_selection(cost, cost < np.inf, nbr,
+                                                 smoothness=0.2)
+        e_icm = texturing.mrf_energy(cost, np.asarray(labels), nbr, 0.2)
+        e_arg = texturing.mrf_energy(cost, np.argmin(cost, axis=1), nbr, 0.2)
+        assert e_icm <= e_arg + 1e-9
