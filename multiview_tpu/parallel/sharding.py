@@ -29,6 +29,20 @@ def make_mesh(devices: Optional[Sequence] = None, axis: str = OBS_AXIS) -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def make_mesh_2d(shape, devices: Optional[Sequence] = None,
+                 host_axis: str = "host", chip_axis: str = OBS_AXIS) -> Mesh:
+    """2-D (host x chip) mesh of the given shape — the explicit DCN/ICI
+    split layout (distributed.host_chip_mesh's shape on real pods; here any
+    shape can be built from local/virtual devices so tests exercise 2x4 and
+    4x2 single-process). Observation rows shard over BOTH axes; reductions
+    then lower to hierarchical collectives (intra-row then cross-row)."""
+    if devices is None:
+        devices = jax.devices()
+    n = int(shape[0]) * int(shape[1])
+    grid = np.asarray(devices)[:n].reshape(shape)
+    return Mesh(grid, (host_axis, chip_axis))
+
+
 def _pad_rows(arr: np.ndarray, n: int, fill=0):
     pad = n - arr.shape[0]
     if pad == 0:
@@ -58,10 +72,12 @@ def pad_pixel_obs(obs: prob.PixelObs, multiple: int) -> prob.PixelObs:
 
 def shard_pixel_obs(obs: prob.PixelObs, mesh: Mesh) -> prob.PixelObs:
     """Place each per-row tensor sharded along the obs axis; the per-sensor
-    dist_half_size is replicated."""
+    dist_half_size is replicated. On a 2-D (host x chip) mesh the rows shard
+    over the product of both axes — reductions become hierarchical
+    collectives (ICI within a host row, DCN across)."""
     n_dev = mesh.devices.size
     obs = pad_pixel_obs(obs, n_dev)
-    row_sharding = NamedSharding(mesh, P(OBS_AXIS))
+    row_sharding = NamedSharding(mesh, P(tuple(mesh.axis_names)))
     rep = NamedSharding(mesh, P())
 
     def place(x, sharding):
@@ -95,32 +111,45 @@ def replicate(tree, mesh: Mesh):
 # ----------------------------------------------------------------------------
 
 
-def pad_tsdf_grid(grid, multiple: int):
-    """Pad the grid's X extent to a multiple of the device count. Padded
-    slabs have zero weight, so extraction and further integration ignore
-    them; the origin is unchanged (padding grows the +X side)."""
-    from multiview_tpu.dense import tsdf as tsdf_mod
-    X = grid.shape[0]
-    pad = (-X) % multiple
-    if pad == 0:
+def pad_tsdf_grid(grid, multiple: int, y_multiple: int = 1):
+    """Pad the grid's X extent to ``multiple`` (and Y to ``y_multiple`` for
+    2-D mesh layouts). Padded slabs have zero weight, so extraction and
+    further integration ignore them; the origin is unchanged (padding grows
+    the +X/+Y sides)."""
+    pad_x = (-grid.shape[0]) % multiple
+    pad_y = (-grid.shape[1]) % y_multiple
+    if pad_x == 0 and pad_y == 0:
         return grid
-    def padx(a):
-        return jnp.concatenate(
-            [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
-    return dataclasses.replace(grid, tsdf=padx(grid.tsdf),
-                               weight=padx(grid.weight),
-                               intensity=padx(grid.intensity))
+    def padxy(a):
+        if pad_x:
+            a = jnp.concatenate(
+                [a, jnp.zeros((pad_x,) + a.shape[1:], a.dtype)], axis=0)
+        if pad_y:
+            a = jnp.concatenate(
+                [a, jnp.zeros((a.shape[0], pad_y) + a.shape[2:], a.dtype)],
+                axis=1)
+        return a
+    return dataclasses.replace(grid, tsdf=padxy(grid.tsdf),
+                               weight=padxy(grid.weight),
+                               intensity=padxy(grid.intensity))
 
 
 def shard_tsdf_grid(grid, mesh: Mesh):
-    """Shard the volume along the X slab axis; each device owns a contiguous
-    slab. The projective integrator (dense/tsdf.py) updates every voxel
-    independently from a (replicated) depth image, so integration runs with
-    zero cross-device communication — the TSDF-block sharding of SURVEY.md
-    2.3 without voxblox's block hash map."""
-    grid = pad_tsdf_grid(grid, mesh.devices.size)
-    slab = NamedSharding(mesh, P(OBS_AXIS))
+    """Shard the volume along the X slab axis (1-D mesh), or X over the host
+    axis and Y over the chip axis (2-D host x chip mesh). Each device owns a
+    contiguous block. The projective integrator (dense/tsdf.py) updates
+    every voxel independently from a (replicated) depth image, so
+    integration runs with zero cross-device communication — the TSDF-block
+    sharding of SURVEY.md 2.3 without voxblox's block hash map."""
     rep = NamedSharding(mesh, P())
+    if mesh.devices.ndim == 1:
+        grid = pad_tsdf_grid(grid, mesh.devices.size)
+        slab = NamedSharding(mesh, P(mesh.axis_names[0]))
+    else:
+        a0, a1 = mesh.axis_names
+        grid = pad_tsdf_grid(grid, mesh.devices.shape[0],
+                             mesh.devices.shape[1])
+        slab = NamedSharding(mesh, P(a0, a1))
     return dataclasses.replace(
         grid,
         tsdf=jax.device_put(grid.tsdf, slab),

@@ -144,3 +144,69 @@ class TestDistributed:
         from multiview_tpu.parallel import distributed as dist
         lo, hi = dist.process_slice(100)
         assert (lo, hi) == (0, 100)
+
+
+class TestHostChipMesh2D:
+    """2-D (host x chip) mesh layouts — the DCN/ICI split exercised on the
+    virtual 8-CPU mesh as 2x4 and 4x2 (round-1 VERDICT #8)."""
+
+    @pytest.mark.parametrize("shape", [(2, 4), (4, 2)])
+    def test_solve_equals_1d_mesh(self, scene, shape):
+        state0 = syn.perturb_state(scene.true_state)
+        cam_mask = prob.build_mask(state0, prob.FloatSpec(cam_poses=True),
+                                   no_rig=True, include_points=False)
+        opts = prob.BAOptions(no_rig=True)
+
+        solver1 = schur.make_schur_solver(state0, scene.observations,
+                                          scene.models, opts, cam_mask,
+                                          max_iterations=4, cg_iterations=30)
+        r1 = solver1(prob.pack_state(state0, include_points=False),
+                     state0.points)
+
+        mesh2 = sh.make_mesh_2d(shape)
+        assert mesh2.devices.shape == shape
+        obs2 = sh.shard_observations(scene.observations, mesh2)
+        st2 = sh.replicate(state0, mesh2)
+        solver2 = schur.make_schur_solver(st2, obs2, scene.models, opts,
+                                          cam_mask, max_iterations=4,
+                                          cg_iterations=30)
+        r2 = jax.jit(solver2)(prob.pack_state(st2, include_points=False),
+                              st2.points)
+        np.testing.assert_allclose(float(r2.initial_cost),
+                                   float(r1.initial_cost), rtol=1e-10)
+        np.testing.assert_allclose(float(r2.cost), float(r1.cost), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(r2.cam), np.asarray(r1.cam),
+                                   atol=1e-7)
+
+    def test_tsdf_2d_block_sharding(self):
+        from multiview_tpu.dense import tsdf
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        focal = jnp.asarray([60.0, 60.0])
+        center = jnp.asarray([32.0, 24.0])
+        from multiview_tpu.geometry import pose as pose_mod
+        c2w = np.asarray(pose_mod.pose_inverse(
+            jnp.asarray(syn.look_at_pose(np.array([0.0, 0.0, 2.0]),
+                                         np.zeros(3)))))
+        depth = jnp.asarray(2.0 + 0.05 * np.random.default_rng(0).random((48, 64)),
+                            jnp.float32)
+
+        grid1 = tsdf.make_grid((40, 30, 32), origin=(-1.0, -0.8, -0.8),
+                               voxel_size=0.05)
+        grid1 = tsdf.integrate_depth_image(grid1, depth, focal, center,
+                                           jnp.asarray(c2w, jnp.float32))
+
+        mesh2 = sh.make_mesh_2d((2, 4))
+        grid2 = tsdf.make_grid((40, 30, 32), origin=(-1.0, -0.8, -0.8),
+                               voxel_size=0.05)
+        grid2 = sh.shard_tsdf_grid(grid2, mesh2)
+        # Y padded 30 -> 32 (multiple of 4); X already multiple of 2
+        assert grid2.tsdf.shape[:2] == (40, 32)
+        grid2 = jax.jit(tsdf.integrate_depth_image,
+                        static_argnames=("max_range", "max_weight"))(
+            grid2, depth, focal, center, jnp.asarray(c2w, jnp.float32))
+        np.testing.assert_allclose(np.asarray(grid2.tsdf)[:, :30],
+                                   np.asarray(grid1.tsdf), atol=1e-5)
+        # outputs stay 2-D block-sharded (communication-free integration)
+        blk = NamedSharding(mesh2, P("host", sh.OBS_AXIS))
+        assert grid2.tsdf.sharding.is_equivalent_to(blk, grid2.tsdf.ndim)
