@@ -36,12 +36,22 @@ class FrontendConfig:
     num_overlaps: int = 2             # pair set: each image vs next k (ip.cc:498-502)
     min_pair_matches: int = 8
     cam_filter_reproj_px: Optional[float] = None  # matchFeaturesWithCams gate
-    # SIFT tuning (reference flags, interest_point.cc:51-57)
+    # detector family: "sift" (DoG) or "surf" (determinant-of-Hessian) —
+    # the reference's -feature_detector choice (matching.cc:48-183)
+    feature_detector: str = "sift"
+    # detector tuning (reference flags, interest_point.cc:51-57)
     num_scales: int = 3               # --sift_nOctaveLayers
     num_octaves: int = 4
     sigma0: float = 1.6               # --sift_sigma
-    contrast_threshold: float = 0.015  # --sift_contrastThreshold
+    # None -> per-detector default (SIFT DoG contrast / SURF Hessian resp.)
+    contrast_threshold: Optional[float] = None  # --sift_contrastThreshold
     edge_threshold: float = 10.0      # --sift_edgeThreshold
+
+    @property
+    def detect_threshold(self) -> float:
+        if self.contrast_threshold is not None:
+            return self.contrast_threshold
+        return feat_mod.default_threshold(self.feature_detector)
     # >0: select match pairs by global-descriptor retrieval (each image vs
     # its K most similar) instead of temporal num_overlaps — Theia's
     # num_nearest_neighbors_for_global_descriptor_matching
@@ -164,15 +174,16 @@ def detect_all(images: Sequence[np.ndarray], cfg: FrontendConfig,
 
     detect_batched = _detect_batched_fn(
         cfg.max_features, cfg.num_scales, cfg.num_octaves, cfg.sigma0,
-        cfg.contrast_threshold, cfg.edge_threshold)
+        cfg.detect_threshold, cfg.edge_threshold, cfg.feature_detector)
 
     def detect_dynamic(i):
         return feat_mod.detect_and_describe_dynamic(
             jnp.asarray(images[i], jnp.float32),
             max_features=cfg.max_features, num_scales=cfg.num_scales,
             num_octaves=cfg.num_octaves, sigma0=cfg.sigma0,
-            contrast_threshold=cfg.contrast_threshold,
-            edge_threshold=cfg.edge_threshold)
+            contrast_threshold=cfg.detect_threshold,
+            edge_threshold=cfg.edge_threshold,
+            detector=cfg.feature_detector)
 
     for shape, ids in groups.items():
         if not batch or len(ids) == 1:
@@ -200,8 +211,9 @@ def detect_all(images: Sequence[np.ndarray], cfg: FrontendConfig,
                         max_features=cfg.max_features,
                         num_scales=cfg.num_scales,
                         num_octaves=cfg.num_octaves, sigma0=cfg.sigma0,
-                        contrast_threshold=cfg.contrast_threshold * 0.25,
-                        edge_threshold=cfg.edge_threshold))
+                        contrast_threshold=cfg.detect_threshold * 0.25,
+                        edge_threshold=cfg.edge_threshold,
+                        detector=cfg.feature_detector))
     if store is not None:
         return store.kps, store.descs
     return kps, descs
@@ -210,7 +222,7 @@ def detect_all(images: Sequence[np.ndarray], cfg: FrontendConfig,
 @functools.lru_cache(maxsize=None)
 def _detect_batched_fn(max_features: int, num_scales: int, num_octaves: int,
                        sigma0: float, contrast_threshold: float,
-                       edge_threshold: float):
+                       edge_threshold: float, detector: str = "sift"):
     """Jitted vmapped detector, cached per detector config so repeated
     detect_all calls reuse the compiled executable."""
     import jax
@@ -220,7 +232,7 @@ def _detect_batched_fn(max_features: int, num_scales: int, num_octaves: int,
             im, max_features=max_features, num_scales=num_scales,
             num_octaves=num_octaves, sigma0=sigma0,
             contrast_threshold=contrast_threshold,
-            edge_threshold=edge_threshold)))
+            edge_threshold=edge_threshold, detector=detector)))
 
 
 @functools.lru_cache(maxsize=None)

@@ -113,15 +113,17 @@ def scan_depth_dir(images_dir, sensor_names: Sequence[str]) -> List[List[ImageRe
 def add_sift_args(p):
     """The reference's detector flags (interest_point.cc:51-57)."""
     p.add_argument("--feature_detector", default="SIFT",
-                   help="SIFT or SURF in the reference; both map onto the "
-                        "TPU DoG detector here")
+                   help="SIFT (DoG + gradient histograms) or SURF "
+                        "(determinant-of-Hessian + Haar-style sums), the "
+                        "reference's detector families (matching.cc:48-183)")
     p.add_argument("--sift_nFeatures", type=int, default=None,
                    help="overrides --max_features when given (reference "
                         "default 10000)")
     p.add_argument("--sift_nOctaveLayers", type=int, default=3)
-    p.add_argument("--sift_contrastThreshold", type=float, default=0.015,
-                   help="DoG contrast threshold (reference default 0.02 on "
-                        "OpenCV's scale)")
+    p.add_argument("--sift_contrastThreshold", type=float, default=None,
+                   help="detection-response threshold; default is "
+                        "per-detector (SIFT DoG contrast 0.015, SURF "
+                        "Hessian 1e-6)")
     p.add_argument("--sift_edgeThreshold", type=float, default=10.0)
     p.add_argument("--sift_sigma", type=float, default=1.6)
     p.add_argument("--num_nearest_neighbors_for_global_descriptor_matching",
@@ -151,7 +153,8 @@ def frontend_config_from_args(args, **overrides):
                       else args.max_features),
         num_scales=getattr(args, "sift_nOctaveLayers", 3),
         sigma0=getattr(args, "sift_sigma", 1.6),
-        contrast_threshold=getattr(args, "sift_contrastThreshold", 0.015),
+        feature_detector=getattr(args, "feature_detector", "SIFT").lower(),
+        contrast_threshold=getattr(args, "sift_contrastThreshold", None),
         edge_threshold=getattr(args, "sift_edgeThreshold", 10.0),
         num_overlaps=getattr(args, "num_overlaps", 2),
         retrieval_neighbors=getattr(

@@ -148,24 +148,33 @@ class TestFeatures:
         from scipy import ndimage as ni  # noqa: F401
         return img.astype(np.float32)
 
-    def test_detect_finds_corners(self):
+    @pytest.mark.parametrize("detector", ["sift", "surf"])
+    def test_detect_finds_corners(self, detector):
         rng = np.random.default_rng(8)
         img = self._textured_image(rng)
-        kp, desc = features.detect_and_describe(jnp.asarray(img), max_features=200)
+        kp, desc = features.detect_and_describe(
+            jnp.asarray(img), max_features=200, detector=detector,
+            contrast_threshold=features.default_threshold(detector))
         nv = int(jnp.sum(kp.valid))
         assert nv > 50, f"only {nv} keypoints"
         assert desc.shape == (200, 128)
         norms = np.linalg.norm(np.asarray(desc[np.asarray(kp.valid)]), axis=-1)
         np.testing.assert_allclose(norms, 1.0, atol=1e-3)
 
-    def test_match_under_translation(self):
+    @pytest.mark.parametrize("detector", ["sift", "surf"])
+    def test_match_under_translation(self, detector):
         """Detect in an image and a shifted copy; matches must obey the shift."""
         rng = np.random.default_rng(9)
         img = self._textured_image(rng, 160, 160)
         dx, dy = 24, 13
         img2 = np.roll(np.roll(img, dy, axis=0), dx, axis=1)
-        kp1, d1 = features.detect_and_describe(jnp.asarray(img), max_features=300)
-        kp2, d2 = features.detect_and_describe(jnp.asarray(img2), max_features=300)
+        th = features.default_threshold(detector)
+        kp1, d1 = features.detect_and_describe(jnp.asarray(img), max_features=300,
+                                               detector=detector,
+                                               contrast_threshold=th)
+        kp2, d2 = features.detect_and_describe(jnp.asarray(img2), max_features=300,
+                                               detector=detector,
+                                               contrast_threshold=th)
         pairs, keep = matching.match_descriptors(d1, d2, ratio=0.8)
         keep = np.asarray(keep & kp1.valid & kp2.valid[pairs[:, 1]])
         p1 = np.asarray(kp1.xy)[keep]
