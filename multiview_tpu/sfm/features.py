@@ -342,13 +342,20 @@ def _orientations(img, xy, scale, valid, n: int = 16):
 
 
 def _descriptors(img, xy, scale, angle, valid, n: int = 16):
-    """SIFT-like 4x4x8 descriptors -> [K,128], L2-normalized, 0.2-clipped."""
+    """SIFT-like 4x4x8 descriptors -> [K,128], L2-normalized, 0.2-clipped.
+
+    The sampling grid is rotated by the keypoint orientation, so gradients
+    of the sampled patch are ALREADY expressed in the keypoint frame
+    (d/d(patch-x) is the directional derivative along the rotated axis) —
+    no further rotation of the gradient angles is needed (subtracting the
+    orientation again double-rotates and silently destroys invariance
+    beyond ~45 degrees of in-plane rotation)."""
     rows, cols = _patch_grid(xy, scale, angle, n, 1.0)
     patch = _sample(img, rows, cols)
     gy = jnp.gradient(patch, axis=1)
     gx = jnp.gradient(patch, axis=2)
     mag = jnp.sqrt(gx * gx + gy * gy)
-    ang = jnp.arctan2(gy, gx) - angle[:, None, None]
+    ang = jnp.arctan2(gy, gx)
     obin = jnp.floor((ang + np.pi) / (2 * np.pi) * 8).astype(jnp.int32) % 8
 
     cell_y = jnp.arange(n) // (n // 4)
@@ -379,12 +386,10 @@ def _surf_descriptors(img, xy, scale, angle, valid, n: int = 16):
     L2 distances)."""
     rows, cols = _patch_grid(xy, scale, angle, n, 1.0)
     patch = _sample(img, rows, cols)                          # [K,n,n]
-    gy = jnp.gradient(patch, axis=1)
-    gx = jnp.gradient(patch, axis=2)
-    ca = jnp.cos(angle)[:, None, None]
-    sa = jnp.sin(angle)[:, None, None]
-    dx = ca * gx + sa * gy                                    # keypoint frame
-    dy = -sa * gx + ca * gy
+    # patch gradients are already in the keypoint frame (rotated grid) —
+    # see _descriptors; rotating them again would break invariance
+    dy = jnp.gradient(patch, axis=1)
+    dx = jnp.gradient(patch, axis=2)
 
     lin = (jnp.arange(n, dtype=jnp.float32) - (n - 1) / 2.0)
     wy, wx = jnp.meshgrid(lin, lin, indexing="ij")

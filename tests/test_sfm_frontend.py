@@ -187,6 +187,34 @@ class TestFeatures:
         np.testing.assert_allclose(model[:, 2], [dx, dy], atol=1.0)
         np.testing.assert_allclose(model[:, :2], np.eye(2), atol=0.05)
 
+    @pytest.mark.parametrize("detector", ["sift", "surf"])
+    @pytest.mark.parametrize("deg", [60, 90, 135])
+    def test_match_under_rotation(self, detector, deg):
+        """Descriptors must survive LARGE in-plane rotations (regression:
+        the rotated-grid gradients were rotated a second time, silently
+        killing invariance beyond ~45 deg)."""
+        from scipy import ndimage as ni
+        rng = np.random.default_rng(8)
+        img = np.kron(rng.uniform(size=(24, 24)), np.ones((8, 8))).astype(np.float32)
+        img = ni.gaussian_filter(img, 1.0)
+        rot = ni.rotate(img, deg, reshape=False, order=1, mode="reflect")
+        kpa, da = features.detect_and_describe_dynamic(img, max_features=400,
+                                                       detector=detector)
+        kpb, db = features.detect_and_describe_dynamic(rot, max_features=400,
+                                                       detector=detector)
+        pairs, keep = matching.match_descriptors(da, db, ratio=0.8)
+        keep = np.asarray(keep & kpa.valid & kpb.valid[pairs[:, 1]])
+        assert keep.sum() > 50, f"only {keep.sum()} ratio-passed at {deg} deg"
+        # scipy.ndimage.rotate maps output coords by R(+deg) about the center
+        c = (np.array(img.shape[::-1], float) - 1) / 2
+        th = np.radians(deg)
+        R = np.array([[np.cos(th), np.sin(th)], [-np.sin(th), np.cos(th)]])
+        pa = np.asarray(kpa.xy)[keep]
+        pb = np.asarray(kpb.xy)[np.asarray(pairs[:, 1])[keep]]
+        good = max((np.linalg.norm((pa - c) @ R.T + c - pb, axis=-1) < 3.0).sum(),
+                   (np.linalg.norm((pa - c) @ R + c - pb, axis=-1) < 3.0).sum())
+        assert good > 0.9 * keep.sum(), f"{good}/{keep.sum()} correct at {deg} deg"
+
 
 def test_frontend_config_from_sift_flags():
     """The reference's SIFT flags (interest_point.cc:51-57) map onto the
