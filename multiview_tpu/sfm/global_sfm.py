@@ -288,16 +288,25 @@ def _pair_track_ranges(x1, x2, R_ij, t_ij, inliers):
 
 
 @jax.jit
-def _essential_ransac_jit(x1, x2, valid, threshold=1e-3):
-    """Essential RANSAC + cheirality decomposition, compiled once per
-    padded match-count bucket. ``threshold`` is the Sampson gate in
-    normalized coordinates (a traced value: changing it never recompiles)."""
+def _two_view_ransac_jit(x1, x2, valid, threshold=1e-3):
+    """Essential AND homography RANSAC + decompositions, compiled once per
+    padded match-count bucket. ``threshold`` is the (squared, unit-plane)
+    inlier gate of both models — a traced value, so changing it never
+    recompiles. The caller model-selects: on near-planar scenes the linear
+    8-point essential problem is degenerate and its rotation can be 10+
+    degrees off while fitting every correspondence; the homography
+    decomposition is the stable estimate there."""
     from multiview_tpu.sfm import ransac as ransac_mod
 
     res = ransac_mod.ransac_essential(x1, x2, valid=valid,
                                       threshold=threshold)
     R, t = ransac_mod.decompose_essential(res.model, x1, x2, res.inliers)
-    return res.model, res.inliers, res.num_inliers, R, t
+    res_h = ransac_mod.ransac_homography(x1, x2, valid=valid,
+                                         threshold=threshold)
+    R_h, t_h, _ = ransac_mod.decompose_homography(res_h.model, x1, x2,
+                                                  res_h.inliers)
+    return (res.inliers, res.num_inliers, R, t,
+            res_h.inliers, res_h.num_inliers, R_h, t_h)
 
 
 def view_graph_from_matches(pair_data, num_views: int, dtype=jnp.float64,
@@ -323,8 +332,15 @@ def view_graph_from_matches(pair_data, num_views: int, dtype=jnp.float64,
         x1p = pad_rows_pow2(np.asarray(x1, float))
         x2p = pad_rows_pow2(np.asarray(x2, float))
         vp = pad_rows_pow2(np.ones(K, bool), fill=False)
-        E, inl, n_inl, R_ij, t_ij = _essential_ransac_jit(
+        (inl, n_inl, R_e, t_e, inl_h, n_inl_h, R_h, t_h) = _two_view_ransac_jit(
             jnp.asarray(x1p), jnp.asarray(x2p), jnp.asarray(vp))
+        # model selection: when one homography explains (almost) as many
+        # correspondences as the essential matrix, the pair is planar-
+        # dominated and the H decomposition is the reliable (R, t)
+        if int(n_inl_h) >= 0.8 * int(n_inl):
+            inl, n_inl, R_ij, t_ij = inl_h, n_inl_h, R_h, t_h
+        else:
+            R_ij, t_ij = R_e, t_e
         if int(n_inl) < 16:
             continue
         x1, x2 = x1p[:K], x2p[:K]

@@ -39,7 +39,7 @@ import jax.numpy as jnp
 from multiview_tpu.geometry import pose as pose_mod
 from multiview_tpu.geometry import triangulation as tri_mod
 from multiview_tpu.sfm import ransac as ransac_mod
-from multiview_tpu.sfm.global_sfm import _essential_ransac_jit
+from multiview_tpu.sfm.global_sfm import _two_view_ransac_jit
 from multiview_tpu.utils.padding import pad_rows_pow2
 from multiview_tpu.calib import problem as prob
 from multiview_tpu.solver import schur
@@ -154,9 +154,13 @@ def run_incremental_sfm(pair_data, num_views: int, track_obs,
         x1p = pad_rows_pow2(np.asarray(x1, float))
         x2p = pad_rows_pow2(np.asarray(x2, float))
         vp = pad_rows_pow2(np.ones(len(x1), bool), fill=False)
-        _, inl, n_inl, R, t = _essential_ransac_jit(
+        (inl, n_inl, R, t, inl_h, n_inl_h, R_h, t_h) = _two_view_ransac_jit(
             jnp.asarray(x1p), jnp.asarray(x2p), jnp.asarray(vp),
             opts.essential_threshold)
+        # planar-dominated pair: the homography decomposition is the
+        # reliable (R, t) (see _two_view_ransac_jit)
+        if int(n_inl_h) >= 0.8 * int(n_inl):
+            inl, n_inl, R, t = inl_h, n_inl_h, R_h, t_h
         n_inl = int(n_inl)
         if n_inl < 16:
             continue

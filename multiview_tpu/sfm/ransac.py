@@ -178,6 +178,26 @@ def ransac_essential(x1, x2, valid=None, threshold: float = 1e-3,
     return RansacResult(E, inliers, jnp.sum(inliers))
 
 
+def _cheirality_count(R, t, x1, x2, inliers):
+    """Number of inlier correspondences with positive LS depths under
+    (R, t): z2 * x2 = R (z1 * x1) + t."""
+    one = jnp.ones(x1.shape[:-1] + (1,), x1.dtype)
+    f1 = jnp.concatenate([x1, one], axis=-1)
+    f2 = jnp.concatenate([x2, one], axis=-1)
+    Rf1 = f1 @ R.T
+    # [z1, z2]: minimize |z1*Rf1 - z2*f2 + t|^2
+    a = jnp.sum(Rf1 * Rf1, axis=-1)
+    b = -jnp.sum(Rf1 * f2, axis=-1)
+    c = jnp.sum(f2 * f2, axis=-1)
+    d = -jnp.sum(Rf1 * t, axis=-1)
+    e = jnp.sum(f2 * t, axis=-1)
+    det = a * c - b * b
+    z1 = (c * d - b * e) / jnp.maximum(det, 1e-30)
+    z2 = (a * e - b * d) / jnp.maximum(det, 1e-30)
+    ok = (z1 > 0) & (z2 > 0) & inliers
+    return jnp.sum(ok)
+
+
 def decompose_essential(E, x1, x2, inliers):
     """Recover (R, t) from E by cheirality voting over the 4 candidates.
 
@@ -185,8 +205,6 @@ def decompose_essential(E, x1, x2, inliers):
     with x2 ~ R x1 + t convention (cam1 frame to cam2 frame).
     """
     U, _, Vt = jnp.linalg.svd(E)
-    # enforce proper rotations
-    d1 = jnp.linalg.det(U @ Vt)
     W = jnp.asarray([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], E.dtype)
 
     def fix(R):
@@ -196,33 +214,157 @@ def decompose_essential(E, x1, x2, inliers):
     R2 = fix(U @ W.T @ Vt)
     t = U[:, 2]
 
-    def count_cheiral(R, t):
-        # triangulate by midpoint depth test: depth in cam1 and cam2 positive
-        one = jnp.ones(x1.shape[:-1] + (1,), x1.dtype)
-        f1 = jnp.concatenate([x1, one], axis=-1)
-        f2 = jnp.concatenate([x2, one], axis=-1)
-        # solve for depths: z2 * x2 = R (z1 * x1) + t  (2 unknowns, 3 eqs)
-        Rf1 = f1 @ R.T
-        # [z1, z2]: minimize |z1*Rf1 - z2*f2 + t|^2
-        # LS depths for z1*Rf1 + t ~ z2*f2:
-        # [a b; b c][z1; z2] = [d; e] with the values below
-        a = jnp.sum(Rf1 * Rf1, axis=-1)
-        b = -jnp.sum(Rf1 * f2, axis=-1)
-        c = jnp.sum(f2 * f2, axis=-1)
-        d = -jnp.sum(Rf1 * t, axis=-1)
-        e = jnp.sum(f2 * t, axis=-1)
-        det = a * c - b * b
-        z1 = (c * d - b * e) / jnp.maximum(det, 1e-30)
-        z2 = (a * e - b * d) / jnp.maximum(det, 1e-30)
-        ok = (z1 > 0) & (z2 > 0) & inliers
-        return jnp.sum(ok)
-
     cands = [(R1, t), (R1, -t), (R2, t), (R2, -t)]
-    counts = jnp.stack([count_cheiral(R, tt) for R, tt in cands])
+    counts = jnp.stack([_cheirality_count(R, tt, x1, x2, inliers)
+                        for R, tt in cands])
     best = jnp.argmax(counts)
     Rs = jnp.stack([c[0] for c in cands])
     ts = jnp.stack([c[1] for c in cands])
     return Rs[best], ts[best]
+
+
+# ----------------------------------------------------------------------------
+# Homography: planar two-view geometry
+# (near-planar scenes — nadir surveys, walls — make the essential matrix
+#  degenerate: the linear 8-point problem admits a solution family and the
+#  recovered rotation can be 10+ degrees off while fitting every
+#  correspondence. Estimating H and decomposing it is the stable path;
+#  TheiaSfM likewise carries a homography model for planar scenes.)
+# ----------------------------------------------------------------------------
+
+
+def _fit_homography_dlt(x1, x2, w=None):
+    """DLT homography on unit-plane coordinates: x2 ~ H x1. Returns H [3,3]."""
+    k = x1.shape[0]
+    one = jnp.ones((k, 1), x1.dtype)
+    X1 = jnp.concatenate([x1, one], axis=-1)
+    u, v = x2[..., 0], x2[..., 1]
+    zeros = jnp.zeros_like(X1)
+    r1 = jnp.concatenate([zeros, -X1, v[:, None] * X1], axis=-1)
+    r2 = jnp.concatenate([X1, zeros, -u[:, None] * X1], axis=-1)
+    A = jnp.concatenate([r1, r2], axis=0)
+    if w is not None:
+        A = A * jnp.concatenate([w, w])[:, None]
+    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
+    return Vt[-1].reshape(3, 3)
+
+
+def _transfer_err(H, x1, x2):
+    """Squared forward transfer error |H x1 - x2|^2 on the unit plane."""
+    one = jnp.ones(x1.shape[:-1] + (1,), x1.dtype)
+    X1 = jnp.concatenate([x1, one], axis=-1)
+    Hx = X1 @ H.T
+    z = Hx[..., 2:3]
+    z = jnp.where(jnp.abs(z) > 1e-12, z, 1e-12)
+    p = Hx[..., :2] / z
+    return jnp.sum((p - x2) ** 2, axis=-1)
+
+
+def ransac_homography(x1, x2, valid=None, threshold: float = 1e-3,
+                      num_hypotheses: int = 512,
+                      key: Optional[jax.Array] = None) -> RansacResult:
+    """Batched RANSAC homography from unit-plane correspondences.
+
+    ``threshold`` gates the squared transfer error — the same units as
+    ransac_essential's Sampson gate, so inlier counts of the two models are
+    directly comparable for model selection."""
+    if key is None:
+        key = jax.random.PRNGKey(5)
+    x1 = jnp.asarray(x1)
+    x2 = jnp.asarray(x2)
+    n = x1.shape[0]
+    if n < 4:
+        return RansacResult(jnp.eye(3), jnp.zeros(n, bool), jnp.asarray(0))
+    if valid is None:
+        valid = jnp.ones(n, bool)
+    probs = valid.astype(x1.dtype) / jnp.maximum(jnp.sum(valid), 1.0)
+    samples = jax.random.choice(key, n, shape=(num_hypotheses, 4),
+                                replace=True, p=probs)
+
+    def one(rows):
+        H = _fit_homography_dlt(x1[rows], x2[rows])
+        err = _transfer_err(H, x1, x2)
+        inl = (err <= threshold) & valid
+        return H, jnp.sum(inl)
+
+    models, scores = jax.vmap(one)(samples)
+    best = jnp.argmax(scores)
+    H = models[best]
+
+    def refit(_, H):
+        err = _transfer_err(H, x1, x2)
+        w = ((err <= threshold) & valid).astype(x1.dtype)
+        return _fit_homography_dlt(x1, x2, w=w)
+
+    H = jax.lax.fori_loop(0, 2, refit, H)
+    err = _transfer_err(H, x1, x2)
+    inliers = (err <= threshold) & valid
+    return RansacResult(H, inliers, jnp.sum(inliers))
+
+
+def decompose_homography(H, x1, x2, inliers):
+    """Recover (R, t, n) from a calibrated homography H ~ R + t n^T / d
+    (Faugeras-Lustman SVD method), disambiguated by cheirality voting over
+    the 8 candidates. Returns (R [3,3], unit t [3], plane normal n [3]) in
+    the x2 ~ R x1 + t convention."""
+    U, S, Vt = jnp.linalg.svd(H)
+    V = Vt.T
+    s = jnp.linalg.det(U) * jnp.linalg.det(V)
+    d1, d2, d3 = S[0], S[1], S[2]
+
+    eps = 1e-12
+    denom = jnp.maximum(d1 * d1 - d3 * d3, eps)
+    aux1 = jnp.sqrt(jnp.maximum(d1 * d1 - d2 * d2, 0.0) / denom)
+    aux3 = jnp.sqrt(jnp.maximum(d2 * d2 - d3 * d3, 0.0) / denom)
+
+    cands_R, cands_t, cands_n = [], [], []
+
+    # d' > 0: rotation about the plane-intersection axis by theta
+    stheta_a = (jnp.sqrt(jnp.maximum((d1 * d1 - d2 * d2)
+                                     * (d2 * d2 - d3 * d3), 0.0))
+                / jnp.maximum((d1 + d3) * d2, eps))
+    ctheta = (d2 * d2 + d1 * d3) / jnp.maximum((d1 + d3) * d2, eps)
+    for e1, e3 in ((1.0, 1.0), (1.0, -1.0), (-1.0, 1.0), (-1.0, -1.0)):
+        st = e1 * e3 * stheta_a
+        Rp = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]],
+                         H.dtype)
+        Rp = Rp.at[0, 0].set(ctheta).at[0, 2].set(-st)
+        Rp = Rp.at[2, 0].set(st).at[2, 2].set(ctheta)
+        tp = (d1 - d3) * jnp.stack([e1 * aux1, jnp.zeros_like(d1),
+                                    -e3 * aux3])
+        npl = jnp.stack([e1 * aux1, jnp.zeros_like(d1), e3 * aux3])
+        cands_R.append(s * (U @ Rp @ Vt))
+        cands_t.append(U @ tp)
+        cands_n.append(V @ npl)
+
+    # d' < 0: the camera crosses the plane (rarely physical, kept for
+    # completeness of the 8-candidate vote)
+    sphi_a = (jnp.sqrt(jnp.maximum((d1 * d1 - d2 * d2)
+                                   * (d2 * d2 - d3 * d3), 0.0))
+              / jnp.maximum(jnp.abs(d1 - d3) * d2, eps))
+    cphi = (d1 * d3 - d2 * d2) / jnp.maximum(jnp.abs(d1 - d3) * d2, eps)
+    for e1, e3 in ((1.0, 1.0), (1.0, -1.0), (-1.0, 1.0), (-1.0, -1.0)):
+        sp = e1 * e3 * sphi_a
+        Rp = jnp.asarray([[1.0, 0.0, 0.0], [0.0, -1.0, 0.0],
+                          [0.0, 0.0, -1.0]], H.dtype)
+        Rp = Rp.at[0, 0].set(cphi).at[0, 2].set(sp)
+        Rp = Rp.at[2, 0].set(sp).at[2, 2].set(-cphi)
+        tp = (d1 + d3) * jnp.stack([e1 * aux1, jnp.zeros_like(d1),
+                                    e3 * aux3])
+        npl = jnp.stack([e1 * aux1, jnp.zeros_like(d1), e3 * aux3])
+        cands_R.append(s * (U @ Rp @ Vt))
+        cands_t.append(U @ tp)
+        cands_n.append(V @ npl)
+
+    Rs = jnp.stack(cands_R)
+    ts = jnp.stack(cands_t)
+    ns = jnp.stack(cands_n)
+    tnorm = jnp.linalg.norm(ts, axis=-1, keepdims=True)
+    ts = ts / jnp.maximum(tnorm, 1e-12)
+    counts = jnp.stack([_cheirality_count(Rs[i], ts[i], x1, x2, inliers)
+                        for i in range(8)])
+    best = jnp.argmax(counts)
+    return Rs[best], ts[best], ns[best]
 
 
 # ----------------------------------------------------------------------------

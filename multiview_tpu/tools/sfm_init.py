@@ -60,6 +60,68 @@ def _undistort_obs_batched(pix, cam_idx, sensors_of, cam_params):
     return und, focal
 
 
+def _reresect_views(poses, trackset, sensors_of, cam_params, thr,
+                    min_obs: int = 12):
+    """PnP-RANSAC every view against the structure triangulated from the
+    current poses; adopt the PnP pose where it explains clearly more
+    observations than the current one.
+
+    Repairs init-outlier cameras: on near-planar (nadir-survey) scenes the
+    two-view geometry feeding rotation averaging is fragile, and a view
+    whose initial rotation is ~10 deg off survives the robust BA as a
+    self-consistent outlier (its residuals are simply down-weighted). The
+    re-resection role of TheiaSfM's absolute-pose step. Returns
+    (poses, n_replaced)."""
+    import jax.numpy as jnp
+    from multiview_tpu.geometry import pose as pose_mod, triangulation as tri_mod
+    from multiview_tpu.sfm import ransac as ransac_mod
+    from multiview_tpu.sfm.tracks import tracks_to_arrays
+    from multiview_tpu.utils.padding import group_ranks
+
+    cam_idx, _, pix, pid = tracks_to_arrays(trackset)
+    und, focal_rows = _undistort_obs_batched(pix, cam_idx, sensors_of,
+                                             cam_params)
+    uv = und / focal_rows[:, None]
+
+    poses_np = np.asarray(poses)
+    P = tri_mod.projection_matrix(jnp.asarray(focal_rows),
+                                  jnp.asarray(poses_np[cam_idx]))
+    n_pts = len(trackset.tracks)
+    max_views = max(np.bincount(pid).max(), 2)
+    tb = np.full((n_pts, max_views), -1)
+    order, spid, rank = group_ranks(pid)
+    tb[spid, rank] = order
+    xyz, _, ok = tri_mod.triangulate_tracks(
+        jnp.asarray(np.asarray(P)[np.maximum(tb, 0)]),
+        jnp.asarray(und[np.maximum(tb, 0)]), jnp.asarray(tb >= 0), 3)
+    xyz = np.asarray(xyz)
+    okm = np.asarray(ok)
+
+    def count_inliers(q, X, x):
+        Xc = np.asarray(pose_mod.pose_apply(jnp.asarray(q), jnp.asarray(X)))
+        z = Xc[:, 2]
+        proj = Xc[:, :2] / np.maximum(z[:, None], 1e-12)
+        err = np.linalg.norm(proj - x, axis=-1)
+        return int(np.sum((err <= thr) & (z > 0)))
+
+    n_replaced = 0
+    for v in range(len(poses_np)):
+        rows = np.where((cam_idx == v) & okm[pid])[0]
+        if len(rows) < min_obs:
+            continue
+        X, x = xyz[pid[rows]], uv[rows]
+        res = ransac_mod.ransac_pnp(jnp.asarray(X), jnp.asarray(x),
+                                    threshold=thr)
+        n_cur = count_inliers(poses_np[v], X, x)
+        n_new = int(res.num_inliers)
+        if n_new > 1.2 * n_cur + 5:
+            print(f"re-resection: view {v} pose replaced "
+                  f"({n_cur} -> {n_new} inliers of {len(rows)})")
+            poses_np[v] = np.asarray(res.pose)
+            n_replaced += 1
+    return jnp.asarray(poses_np), n_replaced
+
+
 def run(args):
     import jax.numpy as jnp
     from multiview_tpu.io import rig_config as rc, nvm as nvm_io
@@ -154,7 +216,7 @@ def run(args):
     # init, theia_flags.txt:26-165 — essential here: direction-only position
     # averaging cannot recover spacing along collinear trajectories; the
     # reprojection constraints of shared tracks can) ----
-    if args.num_ba_iterations > 0 and len(trackset.tracks) >= 8:
+    def refine_ba(poses):
         from multiview_tpu.calib import (bracketing as br, assemble,
                                          problem as prob, calibrator as cal)
         entries = [br.CameraEntry(
@@ -176,8 +238,23 @@ def run(args):
             spec, opts, num_passes=1,
             num_iterations=args.num_ba_iterations,
             sensor_names=sensor_names, verbose=False)
-        import jax.numpy as _jnp
-        poses = _jnp.asarray(np.asarray(result.state.world_to_ref))
+        return jnp.asarray(np.asarray(result.state.world_to_ref))
+
+    if args.num_ba_iterations > 0 and len(trackset.tracks) >= 8:
+        poses = refine_ba(poses)
+        # re-resection repair: PnP every view against the BA'd structure;
+        # a replaced pose means an init outlier survived the robust BA, so
+        # refine once more from the repaired configuration
+        mean_f = float(np.mean([cam_params[s].mean_focal
+                                for s in set(sensors_of)]))
+        mean_w = float(np.mean([cam_params[s].distorted_size[0]
+                                for s in set(sensors_of)]))
+        thr = (args.absolute_pose_reprojection_error_threshold
+               * (mean_w / 1024.0) / mean_f)
+        poses, n_fix = _reresect_views(poses, trackset, sensors_of,
+                                       cam_params, thr)
+        if n_fix:
+            poses = refine_ba(poses)
 
     # triangulate all tracks with the initial poses
     cam_idx, fid, pix, pid = tracks_to_arrays(trackset)
