@@ -36,6 +36,28 @@ def terrain_height(x, y):
 _TEX = np.random.default_rng(42).uniform(size=(512, 512)).astype(np.float32)
 
 
+_LOW_TEX = False
+
+
+def harden_texture():
+    """Enable a near-flat patch over terrain x in [0.6, 1.4), y in [0, 0.6):
+    SfM must survive a region with almost no features without losing the
+    views that see it."""
+    global _LOW_TEX
+    _LOW_TEX = True
+
+
+def harden_image(img, rng):
+    """Per-image photometric jitter: gamma, gain, additive sensor noise —
+    the regimes the round-1 verdict called untested (exposure variation,
+    noise)."""
+    gamma = rng.uniform(0.8, 1.3)
+    gain = rng.uniform(0.85, 1.15)
+    out = np.clip(gain * np.power(img, gamma)
+                  + rng.normal(0.0, 0.01, img.shape), 0.0, 1.0)
+    return out.astype(np.float32)
+
+
 def _terrain_hit(origins, dirs):
     """March rays against the terrain by bisection; returns t [N]."""
     t_lo = np.full(len(dirs), 0.2)
@@ -50,9 +72,29 @@ def _terrain_hit(origins, dirs):
 
 
 def _texture_at(pts):
-    gi = np.mod(np.floor(pts[:, 0] * 10).astype(int), 512)
-    gj = np.mod(np.floor(pts[:, 1] * 10).astype(int), 512)
-    return np.clip(_TEX[gi, gj], 0, 1).astype(np.float32)
+    """Bilinear two-octave texture lookup: view-stable appearance (nearest
+    sampling aliases so hard that any viewpoint change decorrelates the
+    images — a renderer artifact, not a real matching difficulty)."""
+    def bilerp(u, v):
+        i0 = np.floor(u).astype(int)
+        j0 = np.floor(v).astype(int)
+        fu = u - i0
+        fv = v - j0
+        i0m, j0m = np.mod(i0, 512), np.mod(j0, 512)
+        i1m, j1m = np.mod(i0 + 1, 512), np.mod(j0 + 1, 512)
+        return ((1 - fu) * (1 - fv) * _TEX[i0m, j0m]
+                + fu * (1 - fv) * _TEX[i1m, j0m]
+                + (1 - fu) * fv * _TEX[i0m, j1m]
+                + fu * fv * _TEX[i1m, j1m])
+
+    base = bilerp(pts[:, 0] * 10, pts[:, 1] * 10)
+    detail = bilerp(pts[:, 0] * 33 + 100, pts[:, 1] * 33 + 100)
+    t = np.clip(0.7 * base + 0.3 * detail, 0, 1).astype(np.float32)
+    if _LOW_TEX:
+        inpatch = ((pts[:, 0] >= 0.6) & (pts[:, 0] < 1.4)
+                   & (pts[:, 1] >= 0.0) & (pts[:, 1] < 0.6))
+        t = np.where(inpatch, 0.55 + 0.04 * (t - 0.5), t).astype(np.float32)
+    return t
 
 
 def render_image(cam_to_world_mat, size, focal):
@@ -68,7 +110,7 @@ def render_image(cam_to_world_mat, size, focal):
     return _texture_at(o + t[:, None] * dw).reshape(H, W)
 
 
-def build_workspace(ws: Path, n_images: int, size, focal):
+def build_workspace(ws: Path, n_images: int, size, focal, hard: bool = False):
     import imageio.v3 as iio
     import jax.numpy as jnp
     from multiview_tpu.geometry import pose as P
@@ -76,6 +118,8 @@ def build_workspace(ws: Path, n_images: int, size, focal):
     from multiview_tpu.utils import synthetic as syn
 
     ws.mkdir(parents=True, exist_ok=True)
+    if hard:
+        harden_texture()
     sensors = [rc.SensorConfig(
         name="nav_cam", focal_length=float(focal),
         optical_center=np.array([size[0] / 2.0, size[1] / 2.0]),
@@ -91,18 +135,34 @@ def build_workspace(ws: Path, n_images: int, size, focal):
     rng = np.random.default_rng(7)
     for i in range(n_images):
         t = float(10000 + i)
-        # lawnmower sweep 2m above the terrain with slight tilt jitter
+        # serpentine lawnmower sweep 2m above the terrain with slight tilt
+        # jitter (hard mode: larger view-direction jitter + in-plane roll);
+        # serpentine so temporal neighbors overlap across row turns
         row, col = divmod(i, 8)
+        if row % 2 == 1:
+            col = 7 - col
         pos = np.array([0.45 * col, 0.8 * row, 2.0 + 0.05 * rng.uniform()])
-        target = pos + np.array([0.15, 0.05 * rng.uniform(), -1.0])
+        tilt = 0.12 if hard else 0.05
+        target = pos + np.array([0.15 + tilt * rng.uniform(-1, 1),
+                                 tilt * rng.uniform(-1, 1), -1.0])
         w2c = syn.look_at_pose(pos, target)
+        if hard:
+            roll = np.radians(rng.uniform(-8.0, 8.0))
+            rollp = P.make_pose(jnp.zeros(3),
+                                P.quat_exp(jnp.asarray([0.0, 0.0, roll])))
+            w2c = np.asarray(P.pose_compose(rollp, jnp.asarray(w2c)))
         c2w = np.asarray(P.pose_to_matrix(P.pose_inverse(jnp.asarray(w2c))))
         img = render_image(c2w, size, focal)
+        if hard:
+            img = harden_image(img, rng)
         path = img_dir / f"{t:.1f}.png"
         iio.imwrite(path, (img * 255).astype(np.uint8))
         names.append(str(path))
         mats.append(np.asarray(P.pose_to_matrix(jnp.asarray(w2c))))
     nvm_io.write_camera_poses(ws / "cameras.txt", names, np.stack(mats))
+    # ground truth for trajectory checks (hard mode starts the pipeline
+    # from SfM estimates, not from these)
+    nvm_io.write_camera_poses(ws / "cameras_gt.txt", names, np.stack(mats))
 
 
 def render_with_cam(cam, w2c_pose, want_depth=False):
@@ -199,6 +259,88 @@ def build_rig_workspace(ws: Path, n_ref: int, size, focal):
     return rig_true
 
 
+def compute_ate(est_file: Path, gt_file: Path) -> dict:
+    """Absolute trajectory error of an estimated pose list vs ground truth,
+    after similarity (Umeyama-style) alignment of the camera centers — the
+    trajectory-quality bar BASELINE.md sets (ATE parity on ISS-like
+    sequences; proxy here on rendered scenes with known truth)."""
+    import jax.numpy as jnp
+    from multiview_tpu.geometry import pose as P, registration as reg
+    from multiview_tpu.io import nvm as nvm_io
+
+    enames, emats = nvm_io.read_camera_poses(est_file)
+    gnames, gmats = nvm_io.read_camera_poses(gt_file)
+    gm = {Path(n).name: M for n, M in zip(gnames, gmats)}
+    est, gt = [], []
+    for n, M in zip(enames, emats):
+        if Path(n).name in gm:
+            est.append(M)
+            gt.append(gm[Path(n).name])
+    E, G = np.stack(est), np.stack(gt)
+
+    def centers(M):
+        return -np.einsum("nji,nj->ni", M[:, :3, :3], M[:, :3, 3])
+
+    ce, cg = centers(E), centers(G)
+    scale, spose = reg.find_similarity_transform(jnp.asarray(ce),
+                                                 jnp.asarray(cg))
+    ce_al = np.asarray(reg.apply_similarity(scale, spose, jnp.asarray(ce)))
+    ate_rmse = float(np.sqrt(np.mean(np.sum((ce_al - cg) ** 2, axis=-1))))
+
+    # rotation error after applying the same world transform to the poses
+    est_poses = jnp.asarray(np.stack(
+        [np.asarray(P.matrix_to_pose(jnp.asarray(M))) for M in E]))
+    est_al = reg.transform_cameras(scale, spose, est_poses)
+    rots = []
+    for i in range(len(G)):
+        Rg = G[i, :3, :3]
+        Re = np.asarray(P.quat_to_matrix(P.pose_q(est_al[i])))
+        cosang = np.clip((np.trace(Re @ Rg.T) - 1.0) / 2.0, -1.0, 1.0)
+        rots.append(np.degrees(np.arccos(cosang)))
+    return {"n_poses": int(len(E)), "ate_rmse_m": round(ate_rmse, 5),
+            "rot_mean_deg": round(float(np.mean(rots)), 4),
+            "rot_max_deg": round(float(np.max(rots)), 4)}
+
+
+def check_track_consistency(nvm_file: Path, gt_file: Path,
+                            tol_m: float = 0.05) -> dict:
+    """Geometric precision of the front-end's tracks against the known
+    terrain: cast each observation's ray from the GROUND-TRUTH pose onto
+    the terrain; a track is consistent if all its hits agree within tol.
+    This measures matching quality independent of the SfM/BA solution."""
+    from multiview_tpu.io import nvm as nvm_io
+
+    data = nvm_io.read_nvm(nvm_file)
+    gnames, gmats = nvm_io.read_camera_poses(gt_file)
+    gm = {Path(n).name: M for n, M in zip(gnames, gmats)}
+    cams = [gm.get(Path(n).name) for n in data.cid_to_filename]
+
+    spreads = []
+    for pid, track in enumerate(data.pid_to_cid_fid):
+        hits = []
+        for cid, fid in track.items():
+            M = cams[cid]
+            if M is None:
+                continue
+            # NVM keypoints are optical-center-offset; undo with focal rays
+            kp = data.cid_to_keypoint[cid][fid]
+            f = data.focal_lengths[cid]
+            d_cam = np.array([kp[0] / f, kp[1] / f, 1.0])
+            R, t = M[:3, :3], M[:3, 3]
+            o = -R.T @ t
+            d = R.T @ d_cam
+            d = d / np.linalg.norm(d)
+            th = _terrain_hit(o[None], d[None])[0]
+            hits.append(o + th * d)
+        if len(hits) >= 2:
+            hits = np.stack(hits)
+            spreads.append(np.max(np.linalg.norm(hits - hits.mean(0), axis=-1)))
+    spreads = np.asarray(spreads)
+    return {"n_tracks": int(len(spreads)),
+            "consistent_frac": round(float(np.mean(spreads < tol_m)), 4),
+            "mean_spread_m": round(float(np.mean(spreads)), 5)}
+
+
 def check_rig_recovery(calib_dir: Path, rig_true) -> dict:
     """Rot/trans error of the recovered ref_to_sensor transforms vs truth."""
     import jax.numpy as jnp
@@ -233,7 +375,16 @@ def main():
                     help="3-sensor bracketed rig (nav + distorted sci + "
                          "haz depth) instead of the single-camera scene; "
                          "calibrate floats rig transforms + depth constraints")
+    ap.add_argument("--hard", action="store_true",
+                    help="hard-mode accuracy benchmark: per-image "
+                         "exposure/gamma jitter + sensor noise + large view "
+                         "rotations + a low-texture band; the pipeline runs "
+                         "sfm-init -> calibrate FROM THE SFM ESTIMATES (not "
+                         "ground-truth poses) and reports ATE + track "
+                         "consistency vs ground truth")
     args = ap.parse_args()
+    if args.hard and args.rig:
+        ap.error("--hard applies to the single-camera scene")
 
     from multiview_tpu.__main__ import main as cli_main
 
@@ -253,7 +404,7 @@ def main():
         if args.stages == "sfm,calibrate,fuse,texture":
             args.stages = "calibrate,fuse,texture"
     elif not have_ws:
-        build_workspace(ws, args.n_images, size, args.focal)
+        build_workspace(ws, args.n_images, size, args.focal, hard=args.hard)
     print(f"[pipeline] workspace ({args.n_images} images {size[0]}x{size[1]}"
           f"{' rig' if args.rig else ''}{' reused' if have_ws else ''}):"
           f" {time.perf_counter() - t0:.1f} s", file=sys.stderr)
@@ -268,13 +419,41 @@ def main():
         print(f"[pipeline] {name}: {timings[name]} s", file=sys.stderr)
         assert ret == 0, f"stage {name} failed"
 
+    accuracy = {}
     if "sfm" in stages:
         run("sfm-init", [
             "sfm-init", "--rig_config", str(ws / "rig_config.txt"),
             "--images", str(ws / "images"), "--out_dir", str(ws / "sfm"),
             "--max_features", str(args.max_features),
             "--num_overlaps", str(args.num_overlaps)])
-    if "calibrate" in stages:
+        if args.hard:
+            from multiview_tpu.io import nvm as nvm_io
+            data = nvm_io.read_nvm(ws / "sfm" / "cameras.nvm")
+            nvm_io.write_camera_poses(ws / "sfm" / "cameras_est.txt",
+                                      data.cid_to_filename,
+                                      data.world_to_cam)
+            accuracy["sfm_ate"] = compute_ate(ws / "sfm" / "cameras_est.txt",
+                                              ws / "cameras_gt.txt")
+            accuracy["tracks"] = check_track_consistency(
+                ws / "sfm" / "cameras.nvm", ws / "cameras_gt.txt")
+            print(f"[pipeline] sfm ATE: {accuracy['sfm_ate']}", file=sys.stderr)
+            print(f"[pipeline] track consistency: {accuracy['tracks']}",
+                  file=sys.stderr)
+    if "calibrate" in stages and args.hard:
+        # hard mode: calibrate starts from the SfM solution, poses float
+        run("calibrate", [
+            "calibrate", "--rig_config", str(ws / "rig_config.txt"),
+            "--nvm", str(ws / "sfm" / "cameras.nvm"),
+            "--images", str(ws / "images"), "--out_dir", str(ws / "calib"),
+            "--no_rig", "--camera_poses_to_float",
+            "--num_iterations", "20", "--calibrator_num_passes", "2",
+            "--max_features", str(args.max_features),
+            "--num_overlaps", str(args.num_overlaps), "--save_nvm"])
+        accuracy["calib_ate"] = compute_ate(ws / "calib" / "cameras.txt",
+                                            ws / "cameras_gt.txt")
+        print(f"[pipeline] calibrated ATE: {accuracy['calib_ate']}",
+              file=sys.stderr)
+    elif "calibrate" in stages:
         if args.rig:
             run("calibrate", [
                 "calibrate", "--rig_config", str(ws / "rig_config.txt"),
@@ -323,9 +502,12 @@ def main():
             + (["--sensor", "nav_cam"] if args.rig else []))
 
     timings["total"] = round(sum(v for k, v in timings.items()), 2)
-    print(json.dumps({"pipeline_stage_seconds": timings,
-                      "n_images": args.n_images,
-                      "image_size": list(size)}))
+    out = {"pipeline_stage_seconds": timings,
+           "n_images": args.n_images,
+           "image_size": list(size)}
+    if accuracy:
+        out["accuracy"] = accuracy
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
