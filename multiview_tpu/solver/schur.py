@@ -583,9 +583,19 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
             # gathers become [N,R]@[R,7] matmuls and the transposed
             # reductions become [R,N]@[N,7] matmuls — MXU work instead of
             # serialized TPU scatter-adds.
+            # bf16 storage for f32 solves only: 0/1 entries are exact in
+            # bf16, and TPU matmuls at default precision round f32 inputs
+            # to bf16 anyway (measured: identical result) — so bf16
+            # one-hots halve the dominant HBM stream of every pose-column
+            # gather/reduction with zero numerical change on TPU.
+            # Accumulation stays f32 via preferred_element_type. f64
+            # solves (CPU tests, high-precision calibrations) keep full
+            # precision.
+            oh_dtype = jnp.bfloat16 if dtype == jnp.float32 else dtype
+
             def onehot(idx):
                 r_ = jnp.arange(num_ref, dtype=jnp.int32)
-                return (idx[:, None] == r_[None, :]).astype(dtype)
+                return (idx[:, None] == r_[None, :]).astype(oh_dtype)
 
             pix_oh = {}
             dep_oh = {}
@@ -598,7 +608,8 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
                 cache = pix_oh if kind == "pix" else dep_oh
                 if i not in cache:
                     o = obs.pixels[i] if kind == "pix" else obs.depths[i]
-                    cache[i] = (onehot(o.beg_idx), onehot(o.end_idx))
+                    cache[i] = (onehot(o.beg_idx), onehot(o.end_idx),
+                                o.beg_idx, o.end_idx)
                 metas.append(cache[i] + (jnp.asarray(ccols),))
         else:
             metas = [None] * len(fam_struct)
@@ -646,13 +657,20 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
                 fams, r = family_blocks(s.cam, s.points, obs)
 
                 def xr_of(j_cam, meta, xc):
-                    """Gather each row's camera-param sub-vector [N,B]."""
-                    ohb, ohe, ccols = meta
+                    """Gather each row's camera-param sub-vector [N,B] via
+                    one-hot matmuls (row gathers of 7-wide slices measured
+                    SLOWER than the [N,R]@[R,7] matmul on TPU — small-row
+                    gathers don't vectorize; the matmul streams the bf16
+                    one-hot at full HBM bandwidth)."""
+                    ohb, ohe, bidx, eidx, ccols = meta
                     Wref = xc[:num_ref * 7].reshape(num_ref, 7)
+                    Wb = Wref.astype(oh_dtype)
                     const = jnp.broadcast_to(xc[ccols],
                                              (j_cam.shape[0], ccols.shape[0]))
-                    return jnp.concatenate([ohb @ Wref, ohe @ Wref, const],
-                                           axis=-1)
+                    return jnp.concatenate(
+                        [jnp.matmul(ohb, Wb, preferred_element_type=dtype),
+                         jnp.matmul(ohe, Wb, preferred_element_type=dtype),
+                         const], axis=-1)
 
                 def reduce_cols(contribs):
                     """[(meta, [N,B])] -> [C]: one-hot matmuls for the pose
@@ -661,9 +679,13 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
                     gc = jnp.zeros(layout.total, dtype)
                     gpose = jnp.zeros((num_ref, 7), dtype)
                     for meta, contrib in contribs:
-                        ohb, ohe, ccols = meta
-                        gpose = gpose + ohb.T @ contrib[:, :7] \
-                            + ohe.T @ contrib[:, 7:14]
+                        ohb, ohe, bidx, eidx, ccols = meta
+                        cb = contrib.astype(oh_dtype)
+                        gpose = gpose \
+                            + jnp.matmul(ohb.T, cb[:, :7],
+                                         preferred_element_type=dtype) \
+                            + jnp.matmul(ohe.T, cb[:, 7:14],
+                                         preferred_element_type=dtype)
                         gc = gc.at[ccols].add(jnp.sum(contrib[:, 14:], axis=0))
                     return gc.at[:num_ref * 7].add(gpose.reshape(-1))
 
@@ -768,8 +790,10 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
                                                  E, hpp_inv[pidx], E)
                         if meta is not None:
                             # one-hot matmul segment-sum (no TPU scatter)
-                            blocks = blocks + (
-                                meta[side].T @ bb.reshape(-1, 49)
+                            blocks = blocks + jnp.matmul(
+                                meta[side].T,
+                                bb.reshape(-1, 49).astype(oh_dtype),
+                                preferred_element_type=dtype,
                             ).reshape(num_ref, 7, 7)
                         else:
                             blocks = blocks.at[idx].add(bb)

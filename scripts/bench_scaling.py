@@ -1,0 +1,167 @@
+"""BA solver throughput vs problem size + roofline accounting (VERDICT #5).
+
+Measures Schur-LM iterations/second at the PERFORMANCE.md problem sizes
+(38k / 115k / 384k / 1.57M observations) for the cg_blocks and jvp/vjp
+paths, and accounts achieved HBM bandwidth / FLOP rate per LM iteration
+from XLA's compiled cost analysis (flops + bytes accessed of the
+1-iteration executable) against the chip's peak.
+
+Run on the real TPU:
+    PYTHONPATH=/root/repo python scripts/bench_scaling.py [--sizes 38k,384k]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+# (n_images, n_per_face) -> n_obs = n_images * 6 * n_per_face^2 (all points
+# visible in all images on the ring)
+SIZES = {
+    "38k": (64, 10),      # 38,400 obs
+    "115k": (98, 14),     # 115,248 obs
+    "384k": (160, 20),    # 384,000 obs
+    "1.57M": (256, 32),   # 1,572,864 obs
+}
+
+# peak numbers per device kind (bf16 matmul TFLOP/s, HBM GB/s)
+PEAKS = {
+    "TPU v5e": (197.0, 819.0),
+    "TPU v5 lite": (197.0, 819.0),
+    "TPU v5p": (459.0, 2765.0),
+    "TPU v6e": (918.0, 1640.0),
+    "TPU v4": (275.0, 1228.0),
+}
+
+
+def build(n_images, n_per_face, dtype):
+    import jax.numpy as jnp
+    from multiview_tpu.calib import problem as prob
+    from multiview_tpu.utils import synthetic as syn
+
+    scene = syn.make_cube_scene(n_images=n_images, n_per_face=n_per_face,
+                                dist_coeffs=(-0.1, 0.02, 1e-4, -1e-4),
+                                pix_noise=0.5, dtype=dtype)
+    state0 = syn.perturb_state(scene.true_state, pose_rot=0.01,
+                               pose_trans=0.02, point_sigma=0.02)
+    cam_mask = prob.build_mask(
+        state0, prob.FloatSpec(cam_poses=True, focal=(0,),
+                               optical_center=(0,), distortion=(0,)),
+        no_rig=True, include_points=False)
+    return scene, state0, cam_mask
+
+
+def bench_mode(scene, state0, cam_mask, mode, iters=10):
+    import jax
+    from multiview_tpu.calib import problem as prob
+    from multiview_tpu.solver import schur
+
+    t0 = time.perf_counter()
+    solver = jax.jit(schur.make_schur_solver(
+        state0, scene.observations, scene.models, prob.BAOptions(no_rig=True),
+        cam_mask, max_iterations=iters, cg_iterations=30, cg_tolerance=0.1,
+        linear_solver=mode))
+    cam0 = prob.pack_state(state0, include_points=False)
+    res = solver(cam0, state0.points)
+    jax.block_until_ready(res.cost)
+    compile_s = time.perf_counter() - t0
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = solver(cam0, state0.points)
+        jax.block_until_ready(res.cost)
+        times.append(time.perf_counter() - t0)
+    n_it = int(res.iterations)
+    return n_it / min(times), compile_s, n_it, float(res.cost)
+
+
+def roofline(scene, state0, cam_mask, mode):
+    """XLA cost analysis of the 1-LM-iteration executable -> achieved
+    GFLOP/s + GB/s over the measured per-iteration wall time."""
+    import jax
+    from multiview_tpu.calib import problem as prob
+    from multiview_tpu.solver import schur
+
+    fn = schur.make_schur_solver(
+        state0, scene.observations, scene.models, prob.BAOptions(no_rig=True),
+        cam_mask, max_iterations=1, cg_iterations=30, cg_tolerance=0.1,
+        linear_solver=mode)
+    cam0 = prob.pack_state(state0, include_points=False)
+    lowered = jax.jit(fn).lower(cam0, state0.points)
+    compiled = lowered.compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    flops = float(ca.get("flops", 0.0))
+    bytes_acc = float(ca.get("bytes accessed", 0.0))
+
+    res = compiled(cam0, state0.points)
+    jax.block_until_ready(res.cost)
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        res = compiled(cam0, state0.points)
+        jax.block_until_ready(res.cost)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    return {
+        "iter_ms": round(dt * 1e3, 2),
+        "gflops": round(flops / 1e9, 2),
+        "gbytes": round(bytes_acc / 1e9, 3),
+        "achieved_gflops_s": round(flops / dt / 1e9, 1),
+        "achieved_gb_s": round(bytes_acc / dt / 1e9, 1),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="38k,115k,384k,1.57M")
+    ap.add_argument("--modes", default="cg_blocks,cg")
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--roofline", action="store_true",
+                    help="also run XLA cost-analysis roofline per size")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    dev = jax.devices()[0]
+    kind = getattr(dev, "device_kind", "unknown")
+    peak = PEAKS.get(kind)
+    print(f"device: {dev.platform} {kind} peak={peak}", file=sys.stderr)
+
+    out = {"device_kind": kind, "rows": []}
+    for name in args.sizes.split(","):
+        n_images, n_per_face = SIZES[name]
+        scene, state0, cam_mask = build(n_images, n_per_face, jnp.float32)
+        n_obs = sum(len(o) for o in scene.observations.pixels)
+        row = {"size": name, "n_obs": int(n_obs),
+               "cam_params": int(cam_mask.shape[0]),
+               "n_points": int(state0.points.shape[0])}
+        for mode in args.modes.split(","):
+            r, comp, n_it, cost = bench_mode(scene, state0, cam_mask, mode,
+                                             args.iters)
+            row[mode] = {"iters_per_sec": round(r, 2),
+                         "compile_s": round(comp, 1)}
+            print(f"[{name}] {mode}: {r:.2f} it/s (compile {comp:.1f} s, "
+                  f"{n_it} iters, cost {cost:.4g})", file=sys.stderr)
+        if args.roofline:
+            for mode in args.modes.split(","):
+                rl = roofline(scene, state0, cam_mask, mode)
+                if peak:
+                    rl["pct_flops_peak"] = round(
+                        100 * rl["achieved_gflops_s"] / (peak[0] * 1e3), 2)
+                    rl["pct_hbm_peak"] = round(
+                        100 * rl["achieved_gb_s"] / peak[1], 1)
+                row[f"roofline_{mode}"] = rl
+                print(f"[{name}] roofline {mode}: {rl}", file=sys.stderr)
+        out["rows"].append(row)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -21,3 +21,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Keep the persistent XLA compilation cache ENABLED for tests: one specific
+# XLA:CPU compile in long multi-file runs segfaults jaxlib-internally
+# (observed as SIGSEGV/SIGABRT in backend_compile_and_load or the adjacent
+# cache write), and a warm cache skips that compile entirely. If the suite
+# crashes inside jax compilation internals: just rerun — each attempt adds
+# successfully-compiled executables to the cache until the run is green.
