@@ -49,6 +49,54 @@ def _host_fingerprint() -> str:
     return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
 
 
+def _patch_atomic_cache_writes():
+    """Make JAX's persistent-compilation-cache writes ATOMIC.
+
+    jax's ``LRUCache.put`` (jax/_src/lru_cache.py) writes cache entries with
+    a direct ``cache_path.write_bytes(val)`` and — with eviction disabled,
+    the default — takes no lock. A second process (pytest workers, a bench
+    run next to a test run) can read the partially-written executable and
+    segfault/abort inside deserialization. Observed repeatedly in this
+    environment (tests/conftest.py history); the root fix is write-to-temp
+    + ``os.replace`` (atomic on POSIX within one filesystem), which makes a
+    torn read impossible: readers see either the old state (miss) or a
+    complete entry. Two concurrent writers of the same key both produce
+    valid entries; last rename wins.
+    """
+    import os
+
+    try:
+        from jax._src import lru_cache as _lru
+    except Exception:
+        return
+    if getattr(_lru.LRUCache, "_multiview_atomic_put", False):
+        return
+    orig_put = _lru.LRUCache.put
+
+    def put(self, key, val):
+        if self.eviction_enabled:
+            # eviction mode holds a filelock around the write already
+            return orig_put(self, key, val)
+        if not key:
+            raise ValueError("key cannot be empty")
+        cache_path = self.path / f"{key}{_lru._CACHE_SUFFIX}"
+        try:
+            if cache_path.exists():
+                return
+            tmp = self.path / f".tmp-{os.getpid()}-{key}"
+            tmp.write_bytes(val)
+            os.replace(str(tmp), str(cache_path))
+        except OSError:
+            try:
+                tmp.unlink()
+            except Exception:
+                pass
+
+    put._multiview_atomic = True
+    _lru.LRUCache.put = put
+    _lru.LRUCache._multiview_atomic_put = True
+
+
 def _enable_persistent_compile_cache():
     """Point JAX's persistent compilation cache at a local directory unless
     the user configured one. Cold-process pipeline runs stack many one-time
@@ -85,6 +133,7 @@ def _enable_persistent_compile_cache():
         pass  # caching is an optimization; never block import
 
 
+_patch_atomic_cache_writes()
 _enable_persistent_compile_cache()
 
 from multiview_tpu.geometry import pose, distortion, camera, triangulation, registration  # noqa: F401

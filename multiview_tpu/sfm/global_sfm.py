@@ -336,9 +336,15 @@ def view_graph_from_matches(pair_data, num_views: int, dtype=jnp.float64,
             jnp.asarray(x1p), jnp.asarray(x2p), jnp.asarray(vp))
         # model selection: when one homography explains (almost) as many
         # correspondences as the essential matrix, the pair is planar-
-        # dominated and the H decomposition is the reliable (R, t)
-        if int(n_inl_h) >= 0.8 * int(n_inl):
-            inl, n_inl, R_ij, t_ij = inl_h, n_inl_h, R_h, t_h
+        # dominated and the H decomposition is the reliable (R, t). Only
+        # the POSE comes from H — the inlier set stays the union of both
+        # models so legitimate off-plane inliers still seed tracks and the
+        # downstream scale estimation (dropping them would starve
+        # _pair_track_ranges of exactly the points with parallax).
+        if int(n_inl) > 0 and int(n_inl_h) > 0.8 * int(n_inl):
+            R_ij, t_ij = R_h, t_h
+            inl = inl | inl_h
+            n_inl = jnp.sum(inl)
         else:
             R_ij, t_ij = R_e, t_e
         if int(n_inl) < 16:

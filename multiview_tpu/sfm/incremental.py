@@ -158,9 +158,13 @@ def run_incremental_sfm(pair_data, num_views: int, track_obs,
             jnp.asarray(x1p), jnp.asarray(x2p), jnp.asarray(vp),
             opts.essential_threshold)
         # planar-dominated pair: the homography decomposition is the
-        # reliable (R, t) (see _two_view_ransac_jit)
-        if int(n_inl_h) >= 0.8 * int(n_inl):
-            inl, n_inl, R, t = inl_h, n_inl_h, R_h, t_h
+        # reliable (R, t), but keep the union inlier set so off-plane
+        # inliers still count toward the pair score and seeding
+        # (see _two_view_ransac_jit / global_sfm.view_graph_from_matches)
+        if int(n_inl) > 0 and int(n_inl_h) > 0.8 * int(n_inl):
+            R, t = R_h, t_h
+            inl = inl | inl_h
+            n_inl = jnp.sum(inl)
         n_inl = int(n_inl)
         if n_inl < 16:
             continue

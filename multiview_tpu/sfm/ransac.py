@@ -245,7 +245,10 @@ def _fit_homography_dlt(x1, x2, w=None):
     A = jnp.concatenate([r1, r2], axis=0)
     if w is not None:
         A = A * jnp.concatenate([w, w])[:, None]
-    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
+    # full_matrices=False: A is [2N,9] in the inlier refit (N padded
+    # correspondences), so a full U would be a [2N,2N] intermediate —
+    # gigabytes at reference-scale match counts. Vt[-1] is unchanged.
+    _, _, Vt = jnp.linalg.svd(A, full_matrices=False)
     return Vt[-1].reshape(3, 3)
 
 

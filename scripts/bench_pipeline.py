@@ -336,6 +336,8 @@ def check_track_consistency(nvm_file: Path, gt_file: Path,
             hits = np.stack(hits)
             spreads.append(np.max(np.linalg.norm(hits - hits.mean(0), axis=-1)))
     spreads = np.asarray(spreads)
+    if len(spreads) == 0:
+        return {"n_tracks": 0, "consistent_frac": 0.0, "mean_spread_m": 0.0}
     return {"n_tracks": int(len(spreads)),
             "consistent_frac": round(float(np.mean(spreads < tol_m)), 4),
             "mean_spread_m": round(float(np.mean(spreads)), 5)}

@@ -22,9 +22,8 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
-# Keep the persistent XLA compilation cache ENABLED for tests: one specific
-# XLA:CPU compile in long multi-file runs segfaults jaxlib-internally
-# (observed as SIGSEGV/SIGABRT in backend_compile_and_load or the adjacent
-# cache write), and a warm cache skips that compile entirely. If the suite
-# crashes inside jax compilation internals: just rerun — each attempt adds
-# successfully-compiled executables to the cache until the run is green.
+# The persistent XLA compilation cache stays ENABLED for tests. Historical
+# SIGSEGV/SIGABRT crashes inside jax cache/compile internals were traced to
+# jax's non-atomic cache writes (a concurrent process reads a torn entry);
+# multiview_tpu.__init__._patch_atomic_cache_writes fixes that at the root
+# with temp-file + os.replace writes, so cold-cache runs are expected green.
