@@ -583,15 +583,20 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
             # gathers become [N,R]@[R,7] matmuls and the transposed
             # reductions become [R,N]@[N,7] matmuls — MXU work instead of
             # serialized TPU scatter-adds.
-            # bf16 storage for f32 solves only: 0/1 entries are exact in
-            # bf16, and TPU matmuls at default precision round f32 inputs
-            # to bf16 anyway (measured: identical result) — so bf16
-            # one-hots halve the dominant HBM stream of every pose-column
-            # gather/reduction with zero numerical change on TPU.
-            # Accumulation stays f32 via preferred_element_type. f64
-            # solves (CPU tests, high-precision calibrations) keep full
-            # precision.
-            oh_dtype = jnp.bfloat16 if dtype == jnp.float32 else dtype
+            # bf16 storage for f32 solves ON TPU only: 0/1 entries are
+            # exact in bf16, and TPU matmuls at default precision round
+            # f32 inputs to bf16 anyway (measured: identical result) — so
+            # bf16 one-hots halve the dominant HBM stream of every
+            # pose-column gather/reduction with zero numerical change on
+            # TPU. Accumulation stays f32 via preferred_element_type.
+            # Other backends (XLA:CPU computes full-f32 matmuls) and f64
+            # solves keep full precision — quantizing there would be a
+            # silent accuracy regression (advisor r2).
+            # device platform (not backend name: the axon plugin registers
+            # backend 'axon' whose devices still report platform 'tpu')
+            on_tpu = jax.devices()[0].platform == "tpu"
+            oh_dtype = (jnp.bfloat16
+                        if (dtype == jnp.float32 and on_tpu) else dtype)
 
             def onehot(idx):
                 r_ = jnp.arange(num_ref, dtype=jnp.int32)

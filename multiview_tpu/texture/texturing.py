@@ -254,20 +254,61 @@ def mrf_view_selection(cost, usable, neighbors, smoothness: float = 0.1,
 
 @dataclasses.dataclass
 class Atlas:
-    """Per-face axis-aligned charts shelf-packed into one texture page."""
+    """Per-face axis-aligned charts shelf-packed into texture pages.
 
-    size: Tuple[int, int]            # (W, H)
+    Charts spill into as many ``max_page``-bounded pages as needed — the
+    reference manages a *vector* of texture atlases the same way
+    (texture_processing.cc:209-365 build_model over texture_atlases,
+    :353-365 merge_texture_atlases). Single-page meshes keep
+    ``face_page == 0`` everywhere and behave exactly as before.
+    """
+
+    size: Tuple[int, int]            # (W, H) of the largest page
     face_uv0: np.ndarray             # [F,2] texel origin of each chart
     face_wh: np.ndarray              # [F,2] chart size in texels
     face_basis: np.ndarray           # [F,2,3] in-plane axes (u,v) world dirs
     face_origin3d: np.ndarray        # [F,3] world point of chart texel (0,0)
     pixel_size: float
+    face_page: np.ndarray = None     # [F] page index of each chart
+    page_sizes: Sequence[Tuple[int, int]] = None   # [(W,H)] per page
+
+    def __post_init__(self):
+        if self.face_page is None:
+            self.face_page = np.zeros(len(self.face_uv0), np.int32)
+        if self.page_sizes is None:
+            self.page_sizes = [self.size]
+
+    @property
+    def num_pages(self) -> int:
+        return len(self.page_sizes)
+
+
+def _new_pages(atlas: Atlas, channels: Tuple[int, ...], dtype=np.float32):
+    return [np.zeros((h, w) + channels, dtype) for w, h in atlas.page_sizes]
+
+
+def _as_pages(page_or_pages) -> list:
+    """Normalize a rendered texture (single array or list of pages)."""
+    if isinstance(page_or_pages, (list, tuple)):
+        return list(page_or_pages)
+    return [page_or_pages]
+
+
+def _from_pages(pages: list):
+    """Single page -> bare array (back-compat); else the list."""
+    return pages[0] if len(pages) == 1 else pages
 
 
 def build_atlas(vertices: np.ndarray, faces: np.ndarray, pixel_size: float,
                 max_page: int = 8192, pad: int = 1) -> Atlas:
     """Per-face planar parametrization at fixed pixel_size + shelf packing
-    (formModel + IsaacTextureAtlas roles). Host-side (irregular packing)."""
+    (formModel + IsaacTextureAtlas roles). Host-side (irregular packing).
+
+    Pages are bounded at ``max_page`` in BOTH dimensions; when a shelf
+    would overflow a page's height the packer starts a new page
+    (reference: texture_processing.cc:209-365 packs into a vector of
+    atlases). A single chart larger than max_page is an error — choose a
+    coarser ``pixel_size``."""
     tri = vertices[faces]                                  # [F,3,3]
     e1 = tri[:, 1] - tri[:, 0]
     n = np.cross(e1, tri[:, 2] - tri[:, 0])
@@ -283,28 +324,51 @@ def build_atlas(vertices: np.ndarray, faces: np.ndarray, pixel_size: float,
     w_tex = np.maximum(1, np.ceil((pu.max(1) - umin) / pixel_size).astype(int) + 1)
     h_tex = np.maximum(1, np.ceil((pv.max(1) - vmin) / pixel_size).astype(int) + 1)
 
+    if int(w_tex.max(initial=0)) + pad > max_page or \
+            int(h_tex.max(initial=0)) + pad > max_page:
+        f_big = int(np.argmax(np.maximum(w_tex, h_tex)))
+        raise ValueError(
+            f"chart of face {f_big} is {int(w_tex[f_big])}x{int(h_tex[f_big])}"
+            f" texels, larger than max_page={max_page}; use a coarser"
+            f" pixel_size (>= {pixel_size * (max(int(w_tex[f_big]), int(h_tex[f_big])) + pad) / max_page:.3g})")
+
     origin3d = tri[:, 0] + umin[:, None] * u + vmin[:, None] * v
 
-    # shelf packing by descending height
+    # shelf packing by descending height, spilling into bounded pages
     order = np.argsort(-h_tex)
     page_w = min(max_page, int(np.ceil(np.sqrt(np.sum((w_tex + pad) *
                                                       (h_tex + pad))))) * 2)
     x = y = shelf_h = 0
+    page = 0
     uv0 = np.zeros((len(faces), 2), int)
+    face_page = np.zeros(len(faces), np.int32)
+    page_heights = []
     for f in order:
         fw, fh = int(w_tex[f]) + pad, int(h_tex[f]) + pad
         if x + fw > page_w:
             x = 0
             y += shelf_h
             shelf_h = 0
+        if y + fh > max_page:
+            # close this page, open the next. Charts are placed in
+            # descending height order, so an overflow can only occur right
+            # after a shelf wrap (shelf_h == 0) — the finished page's used
+            # height is exactly y.
+            page_heights.append(y)
+            page += 1
+            x = y = shelf_h = 0
         uv0[f] = (x, y)
+        face_page[f] = page
         x += fw
         shelf_h = max(shelf_h, fh)
-    page_h = y + shelf_h
-    return Atlas(size=(page_w, page_h), face_uv0=uv0,
+    page_heights.append(y + shelf_h)
+    page_sizes = [(page_w, h) for h in page_heights]
+    size = (page_w, max(h for _, h in page_sizes))
+    return Atlas(size=size, face_uv0=uv0,
                  face_wh=np.stack([w_tex, h_tex], 1),
                  face_basis=np.stack([u, v], 1), face_origin3d=origin3d,
-                 pixel_size=pixel_size)
+                 pixel_size=pixel_size, face_page=face_page,
+                 page_sizes=page_sizes)
 
 
 # ----------------------------------------------------------------------------
@@ -384,13 +448,13 @@ def render_atlas(atlas: Atlas, vertices, faces, best_view, visible,
     tiles; charts larger than max_chart become several tiles (shifted 3D
     origins), so every mapped UV texel is filled regardless of face size.
     Gains may be per-face [F] / [F,C] or per-vertex [V] / [V,C] (per-channel
-    seam leveling). Returns the texture page [H,W] (or [H,W,C]) float [0,1].
+    seam leveling). Returns the texture page [H,W] (or [H,W,C]) float [0,1]
+    for a single-page atlas, or the list of pages for a multi-page atlas.
     """
     F = len(faces)
-    W, H = atlas.size
     sample_img = np.asarray(images[0])
     channels = () if sample_img.ndim == 2 else (sample_img.shape[2],)
-    page = np.zeros((H, W) + channels, np.float32)
+    pages = _new_pages(atlas, channels)
 
     gy, gx = np.meshgrid(np.arange(max_chart), np.arange(max_chart), indexing="ij")
 
@@ -465,16 +529,36 @@ def render_atlas(atlas: Atlas, vertices, faces, best_view, visible,
                 fg = fg[:, None, None]
                 colors = colors + (fg[..., None] if channels else fg)
 
-        fw_all = atlas.face_wh[:, 0]
-        fh_all = atlas.face_wh[:, 1]
-        for ti in range(len(tile_face)):
-            f = tile_face[ti]
-            tx, ty = int(tile_xy[ti, 0]), int(tile_xy[ti, 1])
-            tw = min(max_chart, int(fw_all[f]) - tx)
-            th = min(max_chart, int(fh_all[f]) - ty)
-            x0, y0 = atlas.face_uv0[f]
-            page[y0 + ty:y0 + ty + th, x0 + tx:x0 + tx + tw] = colors[ti, :th, :tw]
-    return np.clip(page, 0.0, 1.0)
+        _scatter_tiles_into_pages(pages, atlas, tile_face, tile_xy, colors,
+                                  max_chart, accumulate=False)
+    return _from_pages([np.clip(p, 0.0, 1.0) for p in pages])
+
+
+def _scatter_tiles_into_pages(pages, atlas: Atlas, tile_face, tile_xy,
+                              colors, max_chart: int, accumulate: bool):
+    """Vectorized page write: all [T, mc, mc(,C)] tile colors land in their
+    page texels with one fancy-index assignment per touched page (replaces
+    the per-tile Python loop — O(texels) numpy instead of O(tiles) host
+    iterations). Texels outside a tile's chart extent are masked off; tile
+    regions never overlap, so fancy-index += is safe for accumulate."""
+    if len(tile_face) == 0:
+        return
+    gy, gx = np.meshgrid(np.arange(max_chart), np.arange(max_chart),
+                         indexing="ij")
+    tx_off = tile_xy[:, 0, None, None] + gx[None]        # [T,mc,mc]
+    ty_off = tile_xy[:, 1, None, None] + gy[None]
+    fw = atlas.face_wh[tile_face, 0][:, None, None]
+    fh = atlas.face_wh[tile_face, 1][:, None, None]
+    valid = (tx_off < fw) & (ty_off < fh)
+    px = atlas.face_uv0[tile_face, 0][:, None, None] + tx_off
+    py = atlas.face_uv0[tile_face, 1][:, None, None] + ty_off
+    pg = atlas.face_page[tile_face]
+    for p in np.unique(pg):
+        m = valid & (pg == p)[:, None, None]
+        if accumulate:
+            pages[p][py[m], px[m]] += colors[m]
+        else:
+            pages[p][py[m], px[m]] = colors[m]
 
 
 # ----------------------------------------------------------------------------
@@ -589,16 +673,20 @@ def _bilinear_np(img: np.ndarray, x: np.ndarray, y: np.ndarray) -> np.ndarray:
             + img[y0 + 1, x0] * (1 - fx) * fy + img[y0 + 1, x0 + 1] * fx * fy)
 
 
-def _edge_samples(page: np.ndarray, atlas: Atlas, vertices, faces,
+def _edge_samples(page, atlas: Atlas, vertices, faces,
                   pairs: np.ndarray, edge_verts: np.ndarray,
                   samples_per_edge: int = 8, inset_texels: float = 0.75):
-    """Sample the rendered page on BOTH sides of each shared face edge.
+    """Sample the rendered page(s) on BOTH sides of each shared face edge.
 
     Each edge is sampled at K interior points; for each of its two faces the
     sample point is pulled ``inset_texels`` toward that face's centroid (so
-    the bilinear read stays inside the face's own chart). Returns
+    the bilinear read stays inside the face's own chart). ``page`` may be a
+    single page or the list of pages of a multi-page atlas — each face is
+    read from its own page, so cross-page seams are measured/leveled like
+    any others. Returns
     (chart_xy [E,2,K,2] per-face chart-local texel coords,
      colors [E,2,K(,C)] page colors on each side)."""
+    pages = _as_pages(page)
     vertices = np.asarray(vertices)
     faces = np.asarray(faces)
     K = samples_per_edge
@@ -608,7 +696,7 @@ def _edge_samples(page: np.ndarray, atlas: Atlas, vertices, faces,
     P = v0[:, None, :] + t[None, :, None] * (v1 - v0)[:, None, :]  # [E,K,3]
 
     chart_xy = np.empty((len(pairs), 2, K, 2))
-    cols_shape = (len(pairs), 2, K) + page.shape[2:]
+    cols_shape = (len(pairs), 2, K) + pages[0].shape[2:]
     colors = np.empty(cols_shape, np.float32)
     for side in range(2):
         f = pairs[:, side]
@@ -623,9 +711,13 @@ def _edge_samples(page: np.ndarray, atlas: Atlas, vertices, faces,
         cy = np.clip(cy, 0.0, atlas.face_wh[f, 1:2] - 1.0)
         chart_xy[:, side, :, 0] = cx
         chart_xy[:, side, :, 1] = cy
-        colors[:, side] = _bilinear_np(page,
-                                       atlas.face_uv0[f, 0:1] + cx,
-                                       atlas.face_uv0[f, 1:2] + cy)
+        pgs = atlas.face_page[f]
+        for p in np.unique(pgs):
+            m = pgs == p
+            colors[m, side] = _bilinear_np(
+                pages[p],
+                atlas.face_uv0[f[m], 0:1] + cx[m],
+                atlas.face_uv0[f[m], 1:2] + cy[m])
     return chart_xy, colors
 
 
@@ -687,12 +779,14 @@ def local_seam_leveling(page: np.ndarray, atlas: Atlas, vertices, faces,
     onto the chart texels. Corrections meet at every edge midpoint by
     construction, so the result is C0 across seams at texel resolution.
 
-    Returns the corrected page (same shape)."""
+    Accepts a single page or the list of pages of a multi-page atlas and
+    returns the same form."""
+    pages = _as_pages(page)
     best_view = np.asarray(best_view)
     visible = np.asarray(visible)
     faces = np.asarray(faces)
     F = len(faces)
-    channels = page.shape[2] if page.ndim == 3 else 1
+    channels = pages[0].shape[2] if pages[0].ndim == 3 else 1
     pairs, edge_verts = shared_edge_vertices(faces, adjacency)
     keep = visible[pairs[:, 0]] & visible[pairs[:, 1]]
     pairs, edge_verts = pairs[keep], edge_verts[keep]
@@ -752,9 +846,7 @@ def local_seam_leveling(page: np.ndarray, atlas: Atlas, vertices, faces,
     sel = np.nonzero(visible)[0]
     tile_face, tile_xy = _chart_tiles(atlas, sel, max_chart)
     gy, gx = np.meshgrid(np.arange(max_chart), np.arange(max_chart), indexing="ij")
-    out_page = page.copy()
-    fw_all = atlas.face_wh[:, 0]
-    fh_all = atlas.face_wh[:, 1]
+    out_pages = [p.copy() for p in pages]
     for c0 in range(0, len(tile_face), chunk):
         tf = tile_face[c0:c0 + chunk]
         txy = tile_xy[c0:c0 + chunk]
@@ -773,17 +865,12 @@ def local_seam_leveling(page: np.ndarray, atlas: Atlas, vertices, faces,
                 + fields[fidx, y0, x1] * fx * (1 - fy)
                 + fields[fidx, y1, x0] * (1 - fx) * fy
                 + fields[fidx, y1, x1] * fx * fy)       # [T,mc,mc,C]
-        if page.ndim == 2:
+        if pages[0].ndim == 2:
             corr = corr[..., 0]
-        for ti in range(len(tf)):
-            f = tf[ti]
-            tx, ty = int(txy[ti, 0]), int(txy[ti, 1])
-            tw = min(max_chart, int(fw_all[f]) - tx)
-            th = min(max_chart, int(fh_all[f]) - ty)
-            px0, py0 = atlas.face_uv0[f]
-            out_page[py0 + ty:py0 + ty + th, px0 + tx:px0 + tx + tw] += \
-                corr[ti, :th, :tw]
-    return np.clip(out_page, 0.0, 1.0)
+        _scatter_tiles_into_pages(out_pages, atlas, tf, txy, corr, max_chart,
+                                  accumulate=True)
+    out_pages = [np.clip(p, 0.0, 1.0) for p in out_pages]
+    return out_pages if isinstance(page, (list, tuple)) else out_pages[0]
 
 
 def mrf_energy(cost, labels, neighbors, smoothness: float) -> float:
@@ -809,37 +896,65 @@ def mrf_energy(cost, labels, neighbors, smoothness: float) -> float:
 
 
 def write_textured_obj(prefix, vertices: np.ndarray, faces: np.ndarray,
-                       atlas: Atlas, texture_page: np.ndarray):
+                       atlas: Atlas, texture_page):
     """OBJ + MTL + PNG output (formObjCustomUV/formMtl/isaac_save_model,
-    texture_processing.cc:884-988,492-535). Per-face UVs from the atlas."""
+    texture_processing.cc:884-988,492-535). Per-face UVs from the atlas.
+
+    ``texture_page`` may be a single page or the list of pages of a
+    multi-page atlas. A multi-page model writes one PNG + one material per
+    page and groups faces under ``usemtl`` blocks by page, exactly the
+    role of the reference's texture-atlas vector in isaac_save_model
+    (texture_processing.cc:492-535)."""
     prefix = Path(prefix)
     prefix.parent.mkdir(parents=True, exist_ok=True)
     obj_path = prefix.with_suffix(".obj")
     mtl_path = prefix.with_suffix(".mtl")
-    png_path = prefix.with_suffix(".png")
+    pages = _as_pages(texture_page)
+    multi = len(pages) > 1
 
     from PIL import Image
-    img = (np.clip(texture_page, 0, 1) * 255).astype(np.uint8)
-    Image.fromarray(img).save(png_path)
+    png_names = []
+    for p, pg in enumerate(pages):
+        png_path = (prefix.parent / f"{prefix.name}_{p}.png" if multi
+                    else prefix.with_suffix(".png"))
+        img = (np.clip(pg, 0, 1) * 255).astype(np.uint8)
+        Image.fromarray(img).save(png_path)
+        png_names.append(png_path.name)
 
-    W, H = atlas.size
+    # per-face UVs normalized by the face's own page size
     tri = vertices[faces]
     rel = tri - atlas.face_origin3d[:, None, :]
     pu = np.einsum("fij,fj->fi", rel, atlas.face_basis[:, 0]) / atlas.pixel_size
     pv = np.einsum("fij,fj->fi", rel, atlas.face_basis[:, 1]) / atlas.pixel_size
-    us = (atlas.face_uv0[:, 0:1] + pu) / W
-    vs = 1.0 - (atlas.face_uv0[:, 1:2] + pv) / H
+    sizes = np.asarray(atlas.page_sizes, float)          # [P,2] (W,H)
+    Wf = sizes[atlas.face_page, 0][:, None]
+    Hf = sizes[atlas.face_page, 1][:, None]
+    us = (atlas.face_uv0[:, 0:1] + pu) / Wf
+    vs = 1.0 - (atlas.face_uv0[:, 1:2] + pv) / Hf
 
     with open(mtl_path, "w") as m:
-        m.write(f"newmtl textured\nmap_Kd {png_path.name}\n")
+        for p, name in enumerate(png_names):
+            mat = f"textured_{p}" if multi else "textured"
+            m.write(f"newmtl {mat}\nmap_Kd {name}\n")
     with open(obj_path, "w") as o:
-        o.write(f"mtllib {mtl_path.name}\nusemtl textured\n")
+        o.write(f"mtllib {mtl_path.name}\n")
         for v in vertices:
             o.write(f"v {v[0]} {v[1]} {v[2]}\n")
         for f in range(len(faces)):
             for k in range(3):
                 o.write(f"vt {us[f, k]} {vs[f, k]}\n")
-        for f, tri_i in enumerate(faces):
-            t0 = 3 * f + 1
+        # faces grouped by page -> one usemtl block per page
+        order = (np.argsort(atlas.face_page, kind="stable") if multi
+                 else np.arange(len(faces)))
+        cur_page = -1
+        for f in order:
+            if multi and atlas.face_page[f] != cur_page:
+                cur_page = int(atlas.face_page[f])
+                o.write(f"usemtl textured_{cur_page}\n")
+            elif not multi and cur_page < 0:
+                cur_page = 0
+                o.write("usemtl textured\n")
+            tri_i = faces[f]
+            t0 = 3 * int(f) + 1
             o.write(f"f {tri_i[0]+1}/{t0} {tri_i[1]+1}/{t0+1} {tri_i[2]+1}/{t0+2}\n")
     return obj_path

@@ -20,6 +20,9 @@ def add_args(p: argparse.ArgumentParser):
     p.add_argument("--sensor", default=None)
     p.add_argument("--pixel_size", type=float, default=0.01,
                    help="texel size in meters (texture_processing.cc formModel)")
+    p.add_argument("--max_page", type=int, default=8192,
+                   help="texture page size bound; charts spill into as "
+                        "many pages as needed (multi-page atlas)")
     p.add_argument("--no_seam_leveling", action="store_true")
     p.add_argument("--no_local_seam_leveling", action="store_true",
                    help="disable the per-texel Poisson seam step (texrecon's "
@@ -97,7 +100,10 @@ def run(args):
     else:
         best = jnp.argmin(cost, axis=-1).astype(jnp.int32)
         visible = jnp.isfinite(jnp.min(cost, axis=-1))
-    atlas = texturing.build_atlas(verts, faces, pixel_size=args.pixel_size)
+    atlas = texturing.build_atlas(verts, faces, pixel_size=args.pixel_size,
+                                  max_page=args.max_page)
+    if atlas.num_pages > 1:
+        print(f"Atlas: {atlas.num_pages} pages of <= {args.max_page}^2 texels")
 
     gains = None
     channels = 1 if args.grayscale else 3

@@ -537,3 +537,125 @@ class TestMrfEnergy:
         e_icm = texturing.mrf_energy(cost, np.asarray(labels), nbr, 0.2)
         e_arg = texturing.mrf_energy(cost, np.argmin(cost, axis=1), nbr, 0.2)
         assert e_icm <= e_arg + 1e-9
+
+
+def grid_mesh(n=8, half=1.0, z=0.0):
+    """Planar [n x n]-quad triangle grid: (n+1)^2 verts, 2n^2 faces."""
+    xs = np.linspace(-half, half, n + 1)
+    vx, vy = np.meshgrid(xs, xs, indexing="ij")
+    verts = np.stack([vx.ravel(), vy.ravel(), np.full((n + 1) ** 2, z)], 1)
+    faces = []
+    for i in range(n):
+        for j in range(n):
+            a = i * (n + 1) + j
+            b = a + 1
+            c = a + (n + 1)
+            d = c + 1
+            # +z normals (viewed from above): counter-clockwise winding
+            faces.append([a, d, b])
+            faces.append([a, c, d])
+    return verts, np.asarray(faces, np.int32)
+
+
+class TestMultiPageAtlas:
+    """The reference fills a VECTOR of texture atlases and merges texcoords
+    (texture_processing.cc:209-365,492-535); charts here spill into
+    max_page-bounded pages the same way."""
+
+    def _scene(self, n=10):
+        verts, faces = grid_mesh(n=n, half=0.5)
+        cam_pose = syn.look_at_pose(np.array([0.0, 1e-6, 2.0]), np.zeros(3))
+        cam = CameraParams.create((200, 200), (200.0, 200.0), (100.0, 100.0))
+        yy, xx = np.meshgrid(np.arange(200), np.arange(200), indexing="ij")
+        img = ((xx + yy) / 400.0).astype(np.float32)
+        return verts, faces, cam_pose, cam, img
+
+    def test_pages_bounded_and_disjoint(self):
+        verts, faces, *_ = self._scene()
+        max_page = 64
+        atlas = texturing.build_atlas(verts, faces, pixel_size=0.01,
+                                      max_page=max_page)
+        assert atlas.num_pages > 1
+        assert all(w <= max_page and h <= max_page
+                   for w, h in atlas.page_sizes)
+        # charts disjoint within each page; every chart inside its page
+        for p, (W, H) in enumerate(atlas.page_sizes):
+            cover = np.zeros((H, W), int)
+            for f in np.nonzero(atlas.face_page == p)[0]:
+                x0, y0 = atlas.face_uv0[f]
+                w, h = atlas.face_wh[f]
+                assert x0 + w <= W and y0 + h <= H
+                cover[y0:y0 + h, x0:x0 + w] += 1
+            assert cover.max() <= 1
+
+    def test_chart_too_large_raises(self):
+        verts, faces = make_quad_mesh(half=5.0)
+        try:
+            texturing.build_atlas(verts, faces, pixel_size=0.01, max_page=64)
+        except ValueError as e:
+            assert "pixel_size" in str(e)
+        else:
+            raise AssertionError("expected ValueError for oversized chart")
+
+    def test_every_mapped_texel_filled(self):
+        verts, faces, cam_pose, cam, img = self._scene()
+        best, visible = texturing.view_selection(
+            jnp.asarray(verts), jnp.asarray(faces),
+            jnp.asarray(cam_pose)[None], occlusion=False)
+        atlas = texturing.build_atlas(verts, faces, pixel_size=0.01,
+                                      max_page=64)
+        assert np.asarray(visible).mean() > 0.9
+        pages = texturing.render_atlas(atlas, verts, faces, best, visible,
+                                       [img + 0.5], [cam],
+                                       [jnp.asarray(cam_pose)], max_chart=16)
+        assert isinstance(pages, list) and len(pages) == atlas.num_pages
+        # ZERO unfilled mapped texels: every chart texel of a visible face
+        # carries a sampled (nonzero) color
+        vis = np.asarray(visible)
+        for f in range(len(faces)):
+            if not vis[f]:
+                continue
+            p = atlas.face_page[f]
+            x0, y0 = atlas.face_uv0[f]
+            w, h = atlas.face_wh[f]
+            chart = pages[p][y0:y0 + h, x0:x0 + w]
+            assert (chart > 0).all(), f"face {f} has unfilled texels"
+
+    def test_multipage_obj_and_seams(self, tmp_path):
+        verts, faces, cam_pose, cam, img = self._scene()
+        # second camera with a brightness offset -> real seams to level
+        cam_pose2 = syn.look_at_pose(np.array([0.3, 0.2, 2.1]), np.zeros(3))
+        poses = [jnp.asarray(cam_pose), jnp.asarray(cam_pose2)]
+        best, visible = texturing.view_selection(
+            jnp.asarray(verts), jnp.asarray(faces),
+            jnp.asarray(np.stack([cam_pose, cam_pose2])), occlusion=False)
+        atlas = texturing.build_atlas(verts, faces, pixel_size=0.01,
+                                      max_page=64)
+        pages = texturing.render_atlas(atlas, verts, faces, best, visible,
+                                       [img + 0.2, img + 0.4], [cam, cam],
+                                       poses, max_chart=16)
+        adjacency = texturing.face_adjacency(faces)
+        stats = texturing.seam_step_stats(pages, atlas, verts, faces, best,
+                                          visible, adjacency)
+        assert stats["num_seam_edges"] + stats["num_interior_edges"] > 0
+        leveled = texturing.local_seam_leveling(pages, atlas, verts, faces,
+                                                best, visible, adjacency)
+        assert isinstance(leveled, list)
+        after = texturing.seam_step_stats(leveled, atlas, verts, faces, best,
+                                          visible, adjacency)
+        if stats.get("seam_mean", 0) > 1e-4:
+            assert after["seam_mean"] < stats["seam_mean"]
+
+        obj = texturing.write_textured_obj(tmp_path / "model", verts, faces,
+                                           atlas, pages)
+        text = obj.read_text()
+        mtl = (tmp_path / "model.mtl").read_text()
+        for p in range(atlas.num_pages):
+            assert f"newmtl textured_{p}" in mtl
+            assert f"usemtl textured_{p}" in text
+            assert (tmp_path / f"model_{p}.png").exists()
+        # UVs in [0,1] for every face against its own page
+        for line in text.splitlines():
+            if line.startswith("vt "):
+                u, v = map(float, line.split()[1:3])
+                assert -1e-6 <= u <= 1 + 1e-6 and -1e-6 <= v <= 1 + 1e-6
