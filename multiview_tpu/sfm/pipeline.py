@@ -140,7 +140,7 @@ class FeatureStore:
 
 def detect_all(images: Sequence[np.ndarray], cfg: FrontendConfig,
                batch: bool = True, chunk: int = 8,
-               store: Optional[FeatureStore] = None):
+               store: Optional[FeatureStore] = None, mesh=None):
     """Detect + describe every image. Returns (keypoints list, descriptor
     list).
 
@@ -174,7 +174,12 @@ def detect_all(images: Sequence[np.ndarray], cfg: FrontendConfig,
 
     detect_batched = _detect_batched_fn(
         cfg.max_features, cfg.num_scales, cfg.num_octaves, cfg.sigma0,
-        cfg.detect_threshold, cfg.edge_threshold, cfg.feature_detector)
+        cfg.detect_threshold, cfg.edge_threshold, cfg.feature_detector,
+        mesh=mesh)
+    if mesh is not None:
+        n_dev = int(mesh.devices.size)
+        chunk = max(chunk, n_dev)
+        chunk += (-chunk) % n_dev
 
     def detect_dynamic(i):
         return feat_mod.detect_and_describe_dynamic(
@@ -190,7 +195,7 @@ def detect_all(images: Sequence[np.ndarray], cfg: FrontendConfig,
             for i in ids:
                 emit(i, *detect_dynamic(i))
             continue
-        csize = min(chunk, len(ids))
+        csize = chunk if mesh is not None else min(chunk, len(ids))
         for c0 in range(0, len(ids), csize):
             sel = ids[c0:c0 + csize]
             # pad the last chunk by repeating its first image: one compiled
@@ -222,17 +227,39 @@ def detect_all(images: Sequence[np.ndarray], cfg: FrontendConfig,
 @functools.lru_cache(maxsize=None)
 def _detect_batched_fn(max_features: int, num_scales: int, num_octaves: int,
                        sigma0: float, contrast_threshold: float,
-                       edge_threshold: float, detector: str = "sift"):
+                       edge_threshold: float, detector: str = "sift",
+                       mesh=None):
     """Jitted vmapped detector, cached per detector config so repeated
-    detect_all calls reuse the compiled executable."""
+    detect_all calls reuse the compiled executable. With ``mesh`` the image
+    batch is sharded over the devices via shard_map (per-image detection is
+    embarrassingly parallel — the reference's per-image ThreadPool tasks,
+    interest_point.cc:483-492)."""
     import jax
 
-    return jax.jit(jax.vmap(
+    vm = jax.vmap(
         lambda im: feat_mod.detect_and_describe(
             im, max_features=max_features, num_scales=num_scales,
             num_octaves=num_octaves, sigma0=sigma0,
             contrast_threshold=contrast_threshold,
-            edge_threshold=edge_threshold, detector=detector)))
+            edge_threshold=edge_threshold, detector=detector))
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as PS
+        from jax import shard_map
+        spec = PS(tuple(mesh.axis_names))
+        vm = shard_map(vm, mesh=mesh, in_specs=spec, out_specs=spec)
+    return jax.jit(vm)
+
+
+def _match_one_fn(ratio: float, ransac_threshold: float, use_pallas: bool):
+    def one(di, dj, xyi, xyj, vi, vj, key):
+        pairs, keep = match_mod.match_descriptors(di, dj, ratio=ratio,
+                                                  use_pallas=use_pallas)
+        keep = keep & vi & vj[pairs[:, 1]]
+        dst = xyj[pairs[:, 1]]
+        res = ransac_mod.ransac_affine2d(xyi, dst, valid=keep,
+                                         threshold=ransac_threshold, key=key)
+        return res.inliers, pairs[:, 1]
+    return one
 
 
 @functools.lru_cache(maxsize=None)
@@ -247,28 +274,51 @@ def _match_batched_fn(ratio: float, ransac_threshold: float,
     stays in VMEM — the production path on TPU)."""
     import jax
 
-    def one(di, dj, xyi, xyj, vi, vj, key):
-        pairs, keep = match_mod.match_descriptors(di, dj, ratio=ratio,
-                                                  use_pallas=use_pallas)
-        keep = keep & vi & vj[pairs[:, 1]]
-        dst = xyj[pairs[:, 1]]
-        res = ransac_mod.ransac_affine2d(xyi, dst, valid=keep,
-                                         threshold=ransac_threshold, key=key)
-        return res.inliers, pairs[:, 1]
-
+    one = _match_one_fn(ratio, ransac_threshold, use_pallas)
     if use_pallas:
         return jax.jit(lambda *args: jax.lax.map(lambda a: one(*a), args))
     return jax.jit(jax.vmap(one))
 
 
+@functools.lru_cache(maxsize=None)
+def _match_batched_sharded_fn(ratio: float, ransac_threshold: float,
+                              use_pallas: bool, mesh):
+    """Device-sharded batched matcher: the pair batch is split over the
+    mesh with shard_map and each device runs the identical per-pair matcher
+    on its shard — pairs are embarrassingly parallel, so no collectives are
+    needed and the result is bit-for-bit the single-device one.
+
+    This is the device-parallel equivalent of the reference's ThreadPool
+    over per-pair match tasks (interest_point.cc:483-522; SURVEY.md 2.3
+    'data-parallel sharding of keyframes/matches across chips')."""
+    import jax
+    from jax.sharding import PartitionSpec as PS
+    from jax import shard_map
+
+    one = _match_one_fn(ratio, ransac_threshold, use_pallas)
+    if use_pallas:
+        local = lambda *args: jax.lax.map(lambda a: one(*a), args)
+    else:
+        local = jax.vmap(one)
+    spec = PS(tuple(mesh.axis_names))
+    return jax.jit(shard_map(local, mesh=mesh,
+                             in_specs=spec, out_specs=spec))
+
+
 def match_pairs_batched(kps, descs, pair_ids, cfg: FrontendConfig,
-                        chunk: int = 32, use_pallas: bool = None):
+                        chunk: int = 32, use_pallas: bool = None,
+                        mesh=None):
     """Descriptor match + ratio test + affine RANSAC for MANY pairs in one
     batched dispatch per chunk (static [K] padded shapes with validity masks
     end-to-end — no host round-trips between the stages).
 
     On TPU with large feature counts the Pallas fused matcher is the
     production path (use_pallas=None auto-selects; see knn2_auto).
+
+    With ``mesh`` (jax.sharding.Mesh), each chunk is sharded over the mesh
+    devices via shard_map — the multi-chip front-end of SURVEY.md 2.3
+    (per-pair tasks distributed like the reference's ThreadPool,
+    interest_point.cc:483-522) with bit-identical results.
 
     pair_ids: list of (i, j). Returns {(i, j): (xy_i [M,2], xy_j [M,2])}.
     """
@@ -280,9 +330,17 @@ def match_pairs_batched(kps, descs, pair_ids, cfg: FrontendConfig,
     if use_pallas is None:
         k = descs[pair_ids[0][0]].shape[0]
         use_pallas = jax.default_backend() == "tpu" and k >= 1024
-    one_v = _match_batched_fn(cfg.ratio, cfg.ransac_threshold, use_pallas)
+    if mesh is not None:
+        n_dev = int(mesh.devices.size)
+        # each device gets at least one pair per dispatch
+        chunk = max(chunk, n_dev)
+        chunk += (-chunk) % n_dev
+        one_v = _match_batched_sharded_fn(cfg.ratio, cfg.ransac_threshold,
+                                          use_pallas, mesh)
+    else:
+        one_v = _match_batched_fn(cfg.ratio, cfg.ransac_threshold, use_pallas)
     out = {}
-    chunk = min(chunk, len(pair_ids))
+    chunk = min(chunk, len(pair_ids)) if mesh is None else chunk
     for c0 in range(0, len(pair_ids), chunk):
         sel = pair_ids[c0:c0 + chunk]
         # pad the last chunk by repeating its first pair: one compiled batch
@@ -355,10 +413,12 @@ def cam_guided_filter(xy_i, xy_j, cam_i, cam_j, w2c_i, w2c_j,
 def detect_match_features(images: Sequence[np.ndarray], cfg: FrontendConfig = FrontendConfig(),
                           cam_params: Optional[Sequence] = None,
                           world_to_cam: Optional[np.ndarray] = None,
-                          cams_of_image: Optional[Sequence[int]] = None
-                          ) -> tracks_mod.TrackSet:
+                          cams_of_image: Optional[Sequence[int]] = None,
+                          mesh=None) -> tracks_mod.TrackSet:
     """Full front-end: images -> TrackSet. With cam_params/world_to_cam
-    given, applies the camera-guided reprojection filter per pair."""
+    given, applies the camera-guided reprojection filter per pair.
+    With ``mesh``, detection batches and match-pair chunks shard over the
+    device mesh (SURVEY.md 2.3 front-end row)."""
     import jax
 
     store = None
@@ -370,7 +430,7 @@ def detect_match_features(images: Sequence[np.ndarray], cfg: FrontendConfig = Fr
             print(f"match_out_of_core: no matching_working_directory set, "
                   f"spilling features to {workdir}")
         store = FeatureStore(workdir, cfg.matching_max_num_images_in_cache)
-    kps, descs = detect_all(images, cfg, store=store)
+    kps, descs = detect_all(images, cfg, store=store, mesh=mesh)
     n = len(images)
     if cfg.retrieval_neighbors > 0:
         from multiview_tpu.sfm import retrieval
@@ -382,8 +442,9 @@ def detect_match_features(images: Sequence[np.ndarray], cfg: FrontendConfig = Fr
                     for j in range(i + 1, min(i + 1 + cfg.num_overlaps, n))]
     # accelerators: one dispatch per pair-chunk wins; on CPU the padded-size
     # RANSAC arithmetic is real work, so the dynamic per-pair path is faster
-    if jax.default_backend() != "cpu":
-        raw = match_pairs_batched(kps, descs, pair_ids, cfg)
+    # (unless a mesh is given — sharded matching needs the batched path)
+    if mesh is not None or jax.default_backend() != "cpu":
+        raw = match_pairs_batched(kps, descs, pair_ids, cfg, mesh=mesh)
     else:
         raw = {}
         for i, j in pair_ids:

@@ -133,10 +133,17 @@ def _pixel_row_blocks(state: prob.RigState, obs: prob.PixelObs, model: str,
         return j_cam, jac[7], res
 
     mask_f = obs.mask.astype(state.dtype)
+    # optimization_barrier: keep the per-row pose/point gathers as plain
+    # row gathers in their natural layout. Without it XLA fuses the gather
+    # into the jacrev consumers' (transposed, 1-D-tiled) layouts — measured
+    # 19.2 ms for the [N,7] pose gather at 384k obs vs ~0.7 ms unfused.
+    beg, end, pts = jax.lax.optimization_barrier(
+        (state.world_to_ref[obs.beg_idx], state.world_to_ref[obs.end_idx],
+         state.points[obs.point_idx]))
     return jax.vmap(row, in_axes=(0, 0, None, None, None, None, None, 0, 0, 0, 0, 0))(
-        state.world_to_ref[obs.beg_idx], state.world_to_ref[obs.end_idx],
+        beg, end,
         state.ref_to_cam[s], state.timestamp_offsets[s], state.focal[s],
-        state.optical_center[s], d, state.points[obs.point_idx],
+        state.optical_center[s], d, pts,
         obs.pix, obs.dt_cam, obs.dt_bracket, mask_f)
 
 
@@ -202,11 +209,15 @@ def _depth_row_blocks(state: prob.RigState, obs: prob.DepthObs, opts: prob.BAOpt
         return j_cam, jac[6], res
 
     mask_f = row_mask.astype(state.dtype)
+    # see _pixel_row_blocks: barrier keeps row gathers in natural layout
+    beg, end, pts = jax.lax.optimization_barrier(
+        (state.world_to_ref[obs.beg_idx], state.world_to_ref[obs.end_idx],
+         state.points[obs.point_idx]))
     return jax.vmap(row, in_axes=(0, 0, None, None, None, None, 0, 0, 0, 0, 0, 0))(
-        state.world_to_ref[obs.beg_idx], state.world_to_ref[obs.end_idx],
+        beg, end,
         state.ref_to_cam[s], state.timestamp_offsets[s],
         state.depth_to_image[s], state.depth_scale[s],
-        state.points[obs.point_idx], obs.depth_xyz, mesh_xyz,
+        pts, obs.depth_xyz, mesh_xyz,
         obs.dt_cam, obs.dt_bracket, mask_f)
 
 
@@ -556,9 +567,62 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
             cam_vec = jnp.minimum(cam_vec, upper)
         return cam_vec
 
+    def _sort_rows_by_point(obs_all):
+        """Permute every point-carrying family's rows so point_idx is
+        non-decreasing (stable, traced, once per solve — not per LM
+        iteration). Row order is solver-internal: the cost is a sum of
+        squares and every J product permutes consistently, so results are
+        unchanged. Sorted rows turn the point-side segment reductions into
+        cumsum-boundary differences — measured 0.70 ms vs 3.2 ms for the
+        TPU scatter-add emitter inside a compiled loop at 384k rows."""
+        def sort_pix(o):
+            perm = jnp.argsort(o.point_idx, stable=True)
+            return dataclasses.replace(
+                o,
+                pix=o.pix[perm], beg_idx=o.beg_idx[perm],
+                end_idx=o.end_idx[perm], point_idx=o.point_idx[perm],
+                dt_cam=o.dt_cam[perm], dt_bracket=o.dt_bracket[perm],
+                mask=o.mask[perm])
+
+        def sort_depth(o):
+            perm = jnp.argsort(o.point_idx, stable=True)
+            return dataclasses.replace(
+                o,
+                depth_xyz=o.depth_xyz[perm], beg_idx=o.beg_idx[perm],
+                end_idx=o.end_idx[perm], point_idx=o.point_idx[perm],
+                dt_cam=o.dt_cam[perm], dt_bracket=o.dt_bracket[perm],
+                mask=o.mask[perm],
+                mesh_xyz=None if o.mesh_xyz is None else o.mesh_xyz[perm],
+                mesh_mask=None if o.mesh_mask is None else o.mesh_mask[perm])
+
+        return dataclasses.replace(
+            obs_all,
+            pixels=tuple(sort_pix(o) for o in obs_all.pixels),
+            depths=tuple(sort_depth(o) for o in obs_all.depths))
+
+    def _segment_ends(pidx):
+        """[P] end offsets of each point's (sorted) row segment."""
+        return jnp.searchsorted(pidx, jnp.arange(1, num_points + 1,
+                                                 dtype=pidx.dtype))
+
+    def _cumsum_reduce(contrib, ends):
+        """Sorted-segment sum [N,K] -> [P,K] via cumulative-sum boundary
+        differences (empty segments produce exact zeros)."""
+        cs = jnp.cumsum(contrib, axis=0)
+        # cumsum value at each segment's end boundary; 0 for boundaries at
+        # the very start (ends == 0, i.e. leading empty segments)
+        b = jnp.where((ends > 0)[:, None], cs[jnp.maximum(ends - 1, 0)], 0.0)
+        prev = jnp.concatenate([jnp.zeros((1, contrib.shape[1]), contrib.dtype),
+                                b[:-1]], axis=0)
+        # ends is non-decreasing, so prev[p] is the cumsum at this
+        # segment's start; empty segments difference to exactly 0
+        return b - prev
+
     def lm_solve(cam0, points0, obs=None, cam_mask_rt=None):
         if obs is None:
             obs = observations
+        if use_blocks:
+            obs = _sort_rows_by_point(obs)
         # runtime free-mask override: incremental SfM freezes/unfreezes
         # camera blocks between calls without recompiling
         cam_free = (jnp.asarray(cam_mask_rt, template.dtype)
@@ -577,6 +641,24 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
                 fam_pose_idx.append((o.beg_idx, o.end_idx))
             if o.mesh_xyz is not None and opts.depth_mesh_weight > 0.0:
                 fam_pose_idx.append((o.beg_idx, o.end_idx))
+
+        # per-family sorted-segment end offsets for the cumsum point
+        # reductions (None -> fall back to scatter-add: depth-mesh rows
+        # have no point block; prior families are tiny). Loop constants —
+        # computed once per solve, not per LM iteration.
+        fam_ends = []
+        if use_blocks:
+            for o in obs.pixels:
+                fam_ends.append(_segment_ends(o.point_idx))
+            for o in obs.depths:
+                if opts.depth_tri_weight > 0.0:
+                    fam_ends.append(_segment_ends(o.point_idx))
+                if o.mesh_xyz is not None and opts.depth_mesh_weight > 0.0:
+                    fam_ends.append(None)
+            for _ in _static_priors(obs, opts):
+                fam_ends.append(None)
+        else:
+            fam_ends = [None] * len(fam_struct)
 
         if use_blocks:
             # One-hot row->ref-pose selectors (loop constants): pose-column
@@ -714,22 +796,69 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
                         parts.append(u.reshape(-1))
                     return jnp.concatenate(parts)
 
-                def JTmv(u):
-                    gp = jnp.zeros((num_points, 3), dtype)
-                    contribs = []
+                def _iter_ublocks(u):
+                    """Slice the flat residual-space vector into per-family
+                    [n,k] blocks alongside the family/meta/ends tuples."""
                     off = 0
-                    for (j_cam, cols, j_pt, pidx), meta in zip(fams, metas):
+                    for (j_cam, cols, j_pt, pidx), meta, ends in zip(
+                            fams, metas, fam_ends):
                         blk = j_cam if j_cam is not None else j_pt
                         n, k = blk.shape[0], blk.shape[1]
                         ub = jax.lax.dynamic_slice_in_dim(u, off, n * k)
-                        ub = ub.reshape(n, k)
+                        yield (j_cam, cols, j_pt, pidx), meta, ends, \
+                            ub.reshape(n, k)
                         off += n * k
+
+                def _pt_accum(gp, j_pt, pidx, ends, ub):
+                    """Accumulate J_p^T u of one family into gp [P,3]."""
+                    c = _pt_contrib(j_pt, ub)
+                    if ends is not None:
+                        return gp + _cumsum_reduce(c, ends)
+                    return gp.at[pidx].add(c)
+
+                def _pt_contrib(j_pt, ub):
+                    """Per-row J_p^T u in rank-2 form: [N,3] via three
+                    [N,k] multiply-reduces (an einsum over [N,k,3] keeps a
+                    rank-3 intermediate whose (k,3) trailing dims pad to
+                    (8,128) TPU tiles — measured ~14x wasted HBM traffic).
+                    The optimization_barrier stops XLA from fusing this
+                    computation INTO the downstream scatter-add's serial
+                    emitter (measured: the fused scatter runs 2.6 ms at
+                    384k obs vs ~0.04 ms for the scatter alone)."""
+                    return jax.lax.optimization_barrier(jnp.stack(
+                        [jnp.sum(j_pt[:, :, j] * ub, axis=1) for j in range(3)],
+                        axis=-1))
+
+                def JTmv_p(u):
+                    """Point side only of J^T u (the camera-side streams of
+                    a full transpose product are skipped statically)."""
+                    gp = jnp.zeros((num_points, 3), dtype)
+                    for (j_cam, cols, j_pt, pidx), meta, ends, ub in \
+                            _iter_ublocks(u):
+                        if j_pt is not None:
+                            gp = _pt_accum(gp, j_pt, pidx, ends, ub)
+                    return gp
+
+                def JTmv_c(u):
+                    """Camera side only of J^T u."""
+                    contribs = []
+                    for (j_cam, cols, j_pt, pidx), meta, ends, ub in \
+                            _iter_ublocks(u):
+                        if j_cam is not None:
+                            contribs.append(
+                                (meta, jnp.einsum("nkb,nk->nb", j_cam, ub)))
+                    return reduce_cols(contribs)
+
+                def JTmv(u):
+                    gp = jnp.zeros((num_points, 3), dtype)
+                    contribs = []
+                    for (j_cam, cols, j_pt, pidx), meta, ends, ub in \
+                            _iter_ublocks(u):
                         if j_cam is not None:
                             contribs.append(
                                 (meta, jnp.einsum("nkb,nk->nb", j_cam, ub)))
                         if j_pt is not None:
-                            gp = gp.at[pidx].add(
-                                jnp.einsum("nkj,nk->nj", j_pt, ub))
+                            gp = _pt_accum(gp, j_pt, pidx, ends, ub)
                     return reduce_cols(contribs), gp
 
                 gc_raw, g_p = JTmv(r)
@@ -750,14 +879,26 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
             g_c = gc_raw * cam_free
 
             if use_blocks:
-                hpp = jnp.zeros((num_points, 3, 3), template.dtype)
+                # Hpp accumulated in packed [P,9] rank-2 form: the outer
+                # products are 9 [N,k] multiply-reduces and the scatter-add
+                # streams [N,9] — an einsum to [N,3,3] + scatter pads the
+                # (3,3) trailing dims to (8,128) TPU tiles (~14x traffic,
+                # measured ~25 ms alone at 384k obs)
+                hpp9 = jnp.zeros((num_points, 9), template.dtype)
                 contribs = []
-                for (j_cam, cols, j_pt, pidx), meta in zip(fams, metas):
+                for (j_cam, cols, j_pt, pidx), meta, ends in zip(
+                        fams, metas, fam_ends):
                     if j_pt is not None and pidx is not None:
-                        hpp = hpp.at[pidx].add(
-                            jnp.einsum("nri,nrj->nij", j_pt, j_pt))
+                        outer = jnp.stack(
+                            [jnp.sum(j_pt[:, :, i] * j_pt[:, :, j], axis=1)
+                             for i in range(3) for j in range(3)], axis=-1)
+                        if ends is not None:
+                            hpp9 = hpp9 + _cumsum_reduce(outer, ends)
+                        else:
+                            hpp9 = hpp9.at[pidx].add(outer)
                     if j_cam is not None:
                         contribs.append((meta, jnp.sum(j_cam * j_cam, axis=1)))
+                hpp = hpp9.reshape(num_points, 3, 3)
                 cam_diag = reduce_cols(contribs)
             else:
                 hpp, cam_diag = hpp_and_diag(fams)
@@ -864,23 +1005,35 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
                 w0 = solve3(g_p)
                 gc0, _ = JTu(Jx(zero_c, w0))
                 rhs = -(g_c - gc0 * cam_free)
-            else:
-                # blocks mode skips the zero side statically (None); the
-                # jvp/vjp closures need real zero arrays
-                zc = None if use_blocks else zero_c
-                zp = None if use_blocks else zero_p
-
+            elif use_blocks:
+                # side-split transposed products: each matvec streams the
+                # camera blocks exactly twice and the point blocks exactly
+                # twice — the full JTmv's discarded sides (a cam-side
+                # reduction thrown away after the first product, a point
+                # scatter after the last) were ~1/3 of the matvec traffic
                 def schur_mv(x):
-                    u = Jmv(x * cam_free, zp)
+                    u = Jmv(x * cam_free, None)
+                    w = solve3(JTmv_p(u))
+                    z = Jmv(None, w)
+                    gc = JTmv_c(u - z)
+                    return gc * cam_free + dc * x
+
+                # rhs = -(g_c - E Hpp^-1 g_p)
+                w0 = solve3(g_p)
+                gc0 = JTmv_c(Jmv(None, w0))
+                rhs = -(g_c - gc0 * cam_free)
+            else:
+                def schur_mv(x):
+                    u = Jmv(x * cam_free, zero_p)
                     _, v = JTmv(u)
                     w = solve3(v)
-                    z = Jmv(zc, w)
+                    z = Jmv(zero_c, w)
                     gc, _ = JTmv(u - z)
                     return gc * cam_free + dc * x
 
                 # rhs = -(g_c - E Hpp^-1 g_p)
                 w0 = solve3(g_p)
-                gc0, _ = JTmv(Jmv(zc, w0))
+                gc0, _ = JTmv(Jmv(zero_c, w0))
                 rhs = -(g_c - gc0 * cam_free)
 
             def dense_schur_solve(rhs):
@@ -948,7 +1101,7 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
 
             # back-substitute points: dp = Hpp^-1 (-g_p - Jp^T Jc dc)
             u = Jmv(dc_step * cam_free, None if use_blocks else zero_p)
-            _, v = JTmv(u)
+            v = JTmv_p(u) if use_blocks else JTmv(u)[1]
             dp = solve3(-g_p - v)
 
             cam_new = project(s.cam + dc_step * cam_free)
@@ -957,7 +1110,13 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
 
             # exact model reduction: -g.d - 0.5|Jd|^2 - 0.5 lam d'Dd
             step_c = cam_new - s.cam
-            Jd = Jmv(step_c, dp)
+            if use_blocks and lower is None and upper is None:
+                # unbounded: step_c == dc_step * cam_free, so the camera
+                # half of J·d is exactly the backsubstitution product u —
+                # reuse it instead of re-streaming every camera block
+                Jd = u + Jmv(None, dp)
+            else:
+                Jd = Jmv(step_c, dp)
             pred = -(jnp.sum(step_c * g_c) + jnp.sum(dp * g_p)) \
                 - 0.5 * jnp.sum(Jd * Jd) \
                 - 0.5 * s.lam * (jnp.sum(cam_diag * step_c * step_c)

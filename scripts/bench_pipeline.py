@@ -188,11 +188,17 @@ def render_with_cam(cam, w2c_pose, want_depth=False):
     return img, xyz
 
 
-def build_rig_workspace(ws: Path, n_ref: int, size, focal):
+def build_rig_workspace(ws: Path, n_ref: int, size, focal, hard: bool = False):
     """3-sensor bracketed-rig workspace: nav_cam (ref, pinhole), sci_cam
     (radtan distortion, clock offset, between-bracket timestamps), haz_cam
     (depth camera: intensity image + .pc xyz cloud per frame). Ground-truth
-    rig transforms are returned for post-calibration checks."""
+    rig transforms are returned for post-calibration checks.
+
+    hard: stressed variant (VERDICT r2 #4) — per-image exposure/gamma
+    jitter + sensor noise, a low-texture terrain band, depth-cloud sensor
+    noise, and PERTURBED initial camera poses in cameras.txt (truth only in
+    cameras_gt.txt), so calibration must recover rig + trajectory + depth
+    alignment from degraded inputs rather than refine from truth."""
     import imageio.v3 as iio
     import jax.numpy as jnp
     from multiview_tpu.geometry import camera as C, pose as P
@@ -200,6 +206,9 @@ def build_rig_workspace(ws: Path, n_ref: int, size, focal):
     from multiview_tpu.utils import synthetic as syn
 
     ws.mkdir(parents=True, exist_ok=True)
+    if hard:
+        harden_texture()
+    rng = np.random.default_rng(11)
     W, H = size
     sci_dist = np.array([-0.12, 0.03, 5e-4, -4e-4])
     sci_offset = 0.13
@@ -241,6 +250,7 @@ def build_rig_workspace(ws: Path, n_ref: int, size, focal):
                  for i in range(n_ref - 1)]
               + [("haz_cam", 10000.0 + i + 0.25, 0.0)
                  for i in range(n_ref - 1)])
+    mats_true = []
     for sname, t, off in frames:
         d = ws / "images" / sname
         d.mkdir(parents=True, exist_ok=True)
@@ -249,14 +259,85 @@ def build_rig_workspace(ws: Path, n_ref: int, size, focal):
                else P.pose_compose(rig_true[sname], w2ref))
         img, xyz = render_with_cam(cams[sname], w2c,
                                    want_depth=sname == "haz_cam")
+        if hard:
+            img = harden_image(img, rng)
         path = d / f"{t:.2f}.png"
         iio.imwrite(path, (img * 255).astype(np.uint8))
         if xyz is not None:
+            if hard:
+                # range-proportional sensor noise along each ray (~0.5% of
+                # depth, a depth-camera-class error model)
+                r = np.linalg.norm(xyz, axis=-1, keepdims=True)
+                dirs = xyz / np.maximum(r, 1e-9)
+                r_noisy = r + rng.normal(0.0, 0.005, r.shape) * np.maximum(r, 1e-9)
+                xyz = (dirs * r_noisy).astype(np.float32)
             depth_io.write_xyz_image(path.with_suffix(".pc"), xyz)
         names.append(str(path))
+        mats_true.append(np.asarray(P.pose_to_matrix(w2c)))
+        if hard:
+            # perturbed initial pose: ~1 deg rotation, ~3 cm translation
+            noise = P.make_pose(jnp.asarray(rng.normal(0, 0.03, 3)),
+                                P.quat_exp(jnp.asarray(rng.normal(0, 0.01, 3))))
+            w2c = P.pose_compose(noise, w2c)
         mats.append(np.asarray(P.pose_to_matrix(w2c)))
     nvm_io.write_camera_poses(ws / "cameras.txt", names, np.stack(mats))
+    nvm_io.write_camera_poses(ws / "cameras_gt.txt", names, np.stack(mats_true))
     return rig_true
+
+
+def check_depth_alignment(calib_dir: Path, ws: Path, sample: int = 37) -> dict:
+    """Ground-truth depth-constraint accuracy: every haz_cam cloud is lifted
+    to world through the CALIBRATED chain (depth_to_image * scale, rig,
+    refined pose) and compared against the true terrain surface. Residual =
+    |z - terrain_height(x, y)| over subsampled cloud points.
+
+    The calibrated world frame is first similarity-aligned to ground truth
+    over the camera centers — a no-depth-prior calibration has a free
+    global gauge (the same reason ATE aligns before comparing), and the
+    terrain is defined in the ground-truth frame."""
+    import jax.numpy as jnp
+    from multiview_tpu.geometry import pose as P, registration as reg
+    from multiview_tpu.io import depth_io, nvm as nvm_io, rig_config as rc
+
+    rig2 = rc.read_rig_config(calib_dir / "rig_config.txt")
+    haz = next(s for s in rig2.sensors if s.name == "haz_cam")
+    d2i = np.asarray(haz.depth_to_image)
+    names, mats = nvm_io.read_camera_poses(calib_dir / "cameras.txt")
+
+    # est -> gt similarity from matched camera centers
+    gnames, gmats = nvm_io.read_camera_poses(ws / "cameras_gt.txt")
+    gm = {Path(n).name: M for n, M in zip(gnames, gmats)}
+    ce, cg = [], []
+    for n, M in zip(names, mats):
+        if Path(n).name in gm:
+            G = gm[Path(n).name]
+            ce.append(-M[:3, :3].T @ M[:3, 3])
+            cg.append(-G[:3, :3].T @ G[:3, 3])
+    scale, spose = reg.find_similarity_transform(
+        jnp.asarray(np.stack(ce)), jnp.asarray(np.stack(cg)))
+
+    res = []
+    for n, M in zip(names, mats):
+        p = Path(n)
+        if p.parent.name != "haz_cam":
+            continue
+        pc = p.with_suffix(".pc")
+        if not pc.exists():
+            pc = ws / "images" / "haz_cam" / p.with_suffix(".pc").name
+        xyz = np.asarray(depth_io.read_xyz_image(pc)).reshape(-1, 3)[::sample]
+        ok = np.linalg.norm(xyz, axis=-1) > 1e-6
+        xyz = xyz[ok]
+        cam_pts = xyz @ d2i[:3, :3].T + d2i[:3, 3]
+        c2w = np.asarray(P.pose_to_matrix(P.pose_inverse(
+            P.matrix_to_pose(jnp.asarray(M)))))
+        world = cam_pts @ c2w[:3, :3].T + c2w[:3, 3]
+        world = np.asarray(reg.apply_similarity(scale, spose,
+                                                jnp.asarray(world)))
+        res.append(np.abs(world[:, 2] - terrain_height(world[:, 0], world[:, 1])))
+    r = np.concatenate(res)
+    return {"n_points": int(len(r)),
+            "median_m": round(float(np.median(r)), 5),
+            "p95_m": round(float(np.percentile(r, 95)), 5)}
 
 
 def compute_ate(est_file: Path, gt_file: Path) -> dict:
@@ -385,8 +466,6 @@ def main():
                          "ground-truth poses) and reports ATE + track "
                          "consistency vs ground truth")
     args = ap.parse_args()
-    if args.hard and args.rig:
-        ap.error("--hard applies to the single-camera scene")
 
     from multiview_tpu.__main__ import main as cli_main
 
@@ -402,7 +481,8 @@ def main():
         if not have_ws or "calibrate" in args.stages:
             # rig_true is needed for the post-calibrate check, so rig
             # workspaces are rebuilt whenever calibrate runs
-            rig_true = build_rig_workspace(ws, args.n_images, size, args.focal)
+            rig_true = build_rig_workspace(ws, args.n_images, size, args.focal,
+                                           hard=args.hard)
         if args.stages == "sfm,calibrate,fuse,texture":
             args.stages = "calibrate,fuse,texture"
     elif not have_ws:
@@ -441,7 +521,33 @@ def main():
             print(f"[pipeline] sfm ATE: {accuracy['sfm_ate']}", file=sys.stderr)
             print(f"[pipeline] track consistency: {accuracy['tracks']}",
                   file=sys.stderr)
-    if "calibrate" in stages and args.hard:
+    if "calibrate" in stages and args.hard and args.rig:
+        # hard rig mode: stressed 3-sensor scene, calibrate starts from the
+        # PERTURBED initial poses (cameras.txt), floats rig + poses, and is
+        # judged on rig recovery, trajectory ATE, and depth alignment vs
+        # the known terrain (VERDICT r2 #4; the reference's entire purpose
+        # is this case, /root/reference/README.md:7-10)
+        run("calibrate", [
+            "calibrate", "--rig_config", str(ws / "rig_config.txt"),
+            "--camera_poses", str(ws / "cameras.txt"),
+            "--images", str(ws / "images"), "--out_dir", str(ws / "calib"),
+            "--rig_transforms_to_float", "--camera_poses_to_float",
+            "--depth_tri_weight", "25.0", "--bracket_len", "1.5",
+            "--num_iterations", "20", "--calibrator_num_passes", "2",
+            "--max_features", str(args.max_features),
+            "--num_overlaps", str(args.num_overlaps), "--save_nvm"])
+        rig_errs = check_rig_recovery(ws / "calib", rig_true)
+        accuracy["rig_recovery"] = rig_errs
+        accuracy["calib_ate"] = compute_ate(ws / "calib" / "cameras.txt",
+                                            ws / "cameras_gt.txt")
+        accuracy["depth_alignment"] = check_depth_alignment(ws / "calib", ws)
+        print(f"[pipeline] hard-rig recovery vs truth: {rig_errs}",
+              file=sys.stderr)
+        print(f"[pipeline] hard-rig ATE: {accuracy['calib_ate']}",
+              file=sys.stderr)
+        print(f"[pipeline] hard-rig depth alignment: "
+              f"{accuracy['depth_alignment']}", file=sys.stderr)
+    elif "calibrate" in stages and args.hard:
         # hard mode: calibrate starts from the SfM solution, poses float
         run("calibrate", [
             "calibrate", "--rig_config", str(ws / "rig_config.txt"),

@@ -14,8 +14,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 # (n_images, n_per_face) -> n_obs = n_images * 6 * n_per_face^2 (all points
@@ -81,7 +84,14 @@ def bench_mode(scene, state0, cam_mask, mode, iters=10):
 
 def roofline(scene, state0, cam_mask, mode):
     """XLA cost analysis of the 1-LM-iteration executable -> achieved
-    GFLOP/s + GB/s over the measured per-iteration wall time."""
+    GFLOP/s + GB/s over the measured per-iteration wall time.
+
+    Methodology note (kept identical to the round-2 measurement so rounds
+    compare): HLO cost analysis counts each while-loop body ONCE, so the
+    'bytes accessed' are those of one LM iteration with one CG step plus
+    one-time work (initial cost, the per-solve row sort); the wall time is
+    a real 1-iteration solve. Steady-state throughput is reported
+    separately by bench_mode (10-iteration wall clock)."""
     import jax
     from multiview_tpu.calib import problem as prob
     from multiview_tpu.solver import schur

@@ -210,3 +210,81 @@ class TestHostChipMesh2D:
         # outputs stay 2-D block-sharded (communication-free integration)
         blk = NamedSharding(mesh2, P("host", sh.OBS_AXIS))
         assert grid2.tsdf.sharding.is_equivalent_to(blk, grid2.tsdf.ndim)
+
+
+class TestShardedFrontend:
+    """Device-sharded detection + matching (SURVEY.md 2.3 front-end row:
+    the reference ThreadPools per-image detection and per-pair matching,
+    interest_point.cc:483-522) must match the single-device path
+    bit-for-bit — pairs are embarrassingly parallel, no collectives."""
+
+    def _images(self, n=6, size=96, seed=0):
+        rng = np.random.default_rng(seed)
+        base = rng.uniform(size=(size + 24, size + 24)).astype(np.float32)
+        # smooth it so detections are stable, then take shifted crops
+        k = np.ones((5, 5)) / 25.0
+        from scipy.signal import convolve2d
+        sm = convolve2d(base, k, mode="same")
+        return [np.ascontiguousarray(sm[i * 2:i * 2 + size, i * 3:i * 3 + size])
+                for i in range(n)]
+
+    def test_sharded_matching_bitwise_equal(self):
+        from multiview_tpu.sfm import pipeline as pl
+        from multiview_tpu.parallel import sharding as sh
+
+        images = self._images()
+        cfg = pl.FrontendConfig(max_features=128, num_overlaps=3)
+        kps, descs = pl.detect_all(images, cfg)
+        n = len(images)
+        pair_ids = [(i, j) for i in range(n)
+                    for j in range(i + 1, min(i + 1 + cfg.num_overlaps, n))]
+
+        single = pl.match_pairs_batched(kps, descs, pair_ids, cfg,
+                                        use_pallas=False)
+        mesh = sh.make_mesh(axis="pairs")
+        sharded = pl.match_pairs_batched(kps, descs, pair_ids, cfg,
+                                         use_pallas=False, mesh=mesh)
+        assert set(single) == set(sharded)
+        assert len(single) > 0
+        for k in single:
+            np.testing.assert_array_equal(single[k][0], sharded[k][0])
+            np.testing.assert_array_equal(single[k][1], sharded[k][1])
+
+    def test_sharded_detection_bitwise_equal(self):
+        from multiview_tpu.sfm import pipeline as pl
+        from multiview_tpu.parallel import sharding as sh
+
+        images = self._images(n=5)
+        cfg = pl.FrontendConfig(max_features=128)
+        kps1, descs1 = pl.detect_all(images, cfg)
+        mesh = sh.make_mesh(axis="imgs")
+        kps8, descs8 = pl.detect_all(images, cfg, mesh=mesh)
+        for a, b in zip(kps1, kps8):
+            np.testing.assert_array_equal(np.asarray(a.xy), np.asarray(b.xy))
+            np.testing.assert_array_equal(np.asarray(a.valid),
+                                          np.asarray(b.valid))
+        for a, b in zip(descs1, descs8):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_sharded_frontend_tracks_equal(self):
+        from multiview_tpu.sfm import pipeline as pl
+        from multiview_tpu.parallel import sharding as sh
+
+        images = self._images()
+        cfg = pl.FrontendConfig(max_features=128, num_overlaps=2)
+        mesh = sh.make_mesh(axis="pairs")
+        ts_mesh = pl.detect_match_features(images, cfg, mesh=mesh)
+        # single-device via the same batched path (mesh=None on CPU takes
+        # the dynamic per-pair route, which pads differently — compare the
+        # batched route to itself across device counts)
+        kps, descs = pl.detect_all(images, cfg)
+        n = len(images)
+        pair_ids = [(i, j) for i in range(n)
+                    for j in range(i + 1, min(i + 1 + cfg.num_overlaps, n))]
+        raw = pl.match_pairs_batched(kps, descs, pair_ids, cfg,
+                                     use_pallas=False)
+        from multiview_tpu.sfm import tracks as tr
+        pm = {k: v for k, v in raw.items()
+              if len(v[0]) >= cfg.min_pair_matches}
+        ts_single = tr.build_tracks(pm, n)
+        assert len(ts_mesh.tracks) == len(ts_single.tracks)
