@@ -120,21 +120,29 @@ def view_selection(vertices, faces, world_to_cam_poses, occlusion: bool = True,
 
 def sample_face_view_colors(vertices, faces, images: Sequence,
                             cams: Sequence[CameraParams], world_to_cam_poses,
-                            usable) -> jnp.ndarray:
-    """Mean color of each face as seen in each view: face centers projected
-    through the full distortion model and bilinearly sampled -> [F,V]
-    luminance (the per-face-per-view color texrecon's photometric outlier
-    removal operates on). Unusable entries are 0."""
+                            usable, grayscale: bool = False) -> jnp.ndarray:
+    """Color of each face as seen in each view: face centers projected
+    through the full distortion model and bilinearly sampled -> [F,V,C]
+    per-channel colors ([F,V] for grayscale inputs or ``grayscale=True``) —
+    the per-face-per-view colors texrecon's photometric outlier removal
+    operates on. Unusable entries are 0.
+
+    Per-channel output matters for rejection: a chroma-only cast (white-
+    balance shift) is invisible in luminance but a strong outlier in a
+    single channel (advisor r2 weak #7)."""
     ctr, _, _ = face_geometry(vertices, faces)
     cols = []
     for v in range(len(images)):
         img = np.asarray(images[v], np.float32)
-        if img.ndim == 3:
+        if grayscale and img.ndim == 3:
             img = img.mean(axis=-1)
         cols.append(_face_view_color(
             cams[v], jnp.asarray(img), jnp.asarray(world_to_cam_poses[v]),
             jnp.asarray(ctr)))
-    colors = jnp.stack(cols, axis=1)                     # [F,V]
+    colors = jnp.stack(cols, axis=1)                  # [F,V] or [F,V,C]
+    usable = jnp.asarray(usable)
+    if colors.ndim == 3:
+        return jnp.where(usable[..., None], colors, 0.0)
     return jnp.where(usable, colors, 0.0)
 
 
@@ -164,34 +172,51 @@ def _masked_median(x, mask):
 def gauss_clamping(face_view_colors, usable, iterations: int = 4,
                    reject_threshold: float = 6e-3, min_sigma: float = 1e-3):
     """Photometric outlier removal (texrecon's ``-o gauss_clamping``,
-    `bin/texrecon:142`): per face, the per-view mean colors are modeled as a
-    Gaussian; views whose density value falls below the rejection threshold
-    are dropped, iterating until stable. The center/spread are median/MAD
-    (a non-robust mean/std lets a single strong outlier inflate sigma enough
-    to keep itself). Returns (usable [F,V], weights [F,V]) where weights
+    `bin/texrecon:142`): per face, the per-view colors are modeled as a
+    per-channel Gaussian; views whose density falls below the rejection
+    threshold IN ANY CHANNEL are dropped, iterating until stable — so a
+    chroma-only cast (white-balance shift) is rejected even though its
+    luminance is inconspicuous. The center/spread are median/MAD (a
+    non-robust mean/std lets a single strong outlier inflate sigma enough
+    to keep itself). face_view_colors: [F,V] luminance or [F,V,C]
+    per-channel. Returns (usable [F,V], weights [F,V]) where weights
     multiply the view quality (1 at the center, ->0 for photometric
     outliers).
     """
     colors = jnp.asarray(face_view_colors, jnp.float32)
     keep = jnp.asarray(usable)
+    # per-channel form: [F,V,C] (C=1 for luminance input). The per-view
+    # keep decision requires EVERY channel's density above threshold, so a
+    # chroma-only cast is rejected, not just re-leveled.
+    chans = colors[..., None] if colors.ndim == 2 else colors
+    F, V, C = chans.shape
+    flat = jnp.transpose(chans, (0, 2, 1)).reshape(F * C, V)
 
     def stats(keep):
-        med = _masked_median(colors, keep)
-        mad = _masked_median(jnp.abs(colors - med), keep)
+        keep_fc = jnp.broadcast_to(keep[:, None, :], (F, C, V)).reshape(F * C, V)
+        med = _masked_median(flat, keep_fc)
+        mad = _masked_median(jnp.abs(flat - med), keep_fc)
         sigma = jnp.maximum(1.4826 * mad, min_sigma)
         return med, sigma
 
-    def body(_, keep):
+    def gauss_of(keep):
         med, sigma = stats(keep)
-        gauss = jnp.exp(-0.5 * ((colors - med) / sigma) ** 2)
-        new_keep = keep & (gauss >= reject_threshold)
+        g = jnp.exp(-0.5 * ((flat - med) / sigma) ** 2)
+        return jnp.transpose(g.reshape(F, C, V), (0, 2, 1))  # [F,V,C]
+
+    def body(_, keep):
+        gauss = gauss_of(keep)
+        # multivariate (diagonal) density test: the product of per-channel
+        # densities against threshold^C — one strongly-off channel kills
+        # the product (chroma cast rejected) while mild noise spread over
+        # channels survives. Reduces to the scalar test for C = 1.
+        new_keep = keep & (jnp.prod(gauss, axis=-1) >= reject_threshold ** C)
         # never drop a face to zero views (keeps faces textured)
         enough = jnp.sum(new_keep, axis=1, keepdims=True) >= 1
         return jnp.where(enough, new_keep, keep)
 
     keep = jax.lax.fori_loop(0, iterations, body, keep)
-    med, sigma = stats(keep)
-    weights = jnp.exp(-0.5 * ((colors - med) / sigma) ** 2)
+    weights = jnp.mean(gauss_of(keep), axis=-1)
     return keep, jnp.where(keep, weights, 0.0)
 
 
@@ -601,16 +626,25 @@ def face_adjacency(faces: np.ndarray) -> np.ndarray:
 
 def global_seam_leveling(face_colors: np.ndarray, best_view: np.ndarray,
                          adjacency: np.ndarray, reg: float = 1e-3,
-                         iterations: int = 200) -> np.ndarray:
+                         iterations: int = 2000, tol: float = 1e-6,
+                         return_info: bool = False):
     """Per-face additive gain g minimizing
     sum_adj (g_a - g_b + c_a - c_b)^2 [only across view seams] + reg*sum g^2
     — texrecon's global seam leveling reduced to the face graph, solved with
-    Jacobi sweeps in JAX. face_colors: [F] mean sampled luminance per face,
-    or [F,C] for independent per-channel gains (texrecon levels each color
-    channel separately). Returns gains of the same shape."""
+    damped Jacobi sweeps in JAX under a CONVERGENCE CRITERION: iteration
+    stops when the normal-equations residual max|A g - b| drops below
+    ``tol`` * max|b| (or at ``iterations``, now a safety cap rather than
+    the de-facto answer — a large face graph with long diffusion paths no
+    longer silently returns an unconverged solve; advisor r2 weak #6).
+
+    face_colors: [F] mean sampled luminance per face, or [F,C] for
+    independent per-channel gains (texrecon levels each color channel
+    separately). Returns gains of the same shape; with ``return_info``,
+    also a dict with iterations run and the final relative residual."""
     face_colors = np.asarray(face_colors)
     if len(adjacency) == 0:
-        return np.zeros(face_colors.shape)
+        z = np.zeros(face_colors.shape)
+        return (z, dict(iterations=0, rel_residual=0.0)) if return_info else z
     squeeze = face_colors.ndim == 1
     fc = face_colors[:, None] if squeeze else face_colors
     a = jnp.asarray(adjacency[:, 0])
@@ -627,15 +661,37 @@ def global_seam_leveling(face_colors: np.ndarray, best_view: np.ndarray,
 
     omega = 0.7  # damped Jacobi: plain Jacobi oscillates on seam pairs
 
-    def sweep(_, g):
+    def rhs_of(g):
         rhs = jnp.zeros(c.shape, jnp.float32)
         rhs = rhs.at[a].add(w * (g[b] + target))
         rhs = rhs.at[b].add(w * (g[a] - target))
-        return (1.0 - omega) * g + omega * rhs / denom
+        return rhs
 
-    g = jax.lax.fori_loop(0, iterations, sweep, jnp.zeros(c.shape, jnp.float32))
+    b_norm = float(jnp.max(jnp.abs(rhs_of(jnp.zeros(c.shape, jnp.float32)))))
+    b_norm = max(b_norm, 1e-30)
+
+    @jax.jit
+    def run(g0):
+        def cond(carry):
+            g, res, it = carry
+            return (it < iterations) & (res > tol * b_norm)
+
+        def body(carry):
+            g, _, it = carry
+            g_new = (1.0 - omega) * g + omega * rhs_of(g) / denom
+            # normal-equations residual of the UPDATED iterate
+            res = jnp.max(jnp.abs(rhs_of(g_new) - denom * g_new))
+            return g_new, res, it + 1
+
+        return jax.lax.while_loop(
+            cond, body, (g0, jnp.asarray(jnp.inf, jnp.float32),
+                         jnp.asarray(0)))
+
+    g, res, it = run(jnp.zeros(c.shape, jnp.float32))
+    info = dict(iterations=int(it), rel_residual=float(res) / b_norm)
     g = np.asarray(g)
-    return g[:, 0] if squeeze else g
+    g = g[:, 0] if squeeze else g
+    return (g, info) if return_info else g
 
 
 # ----------------------------------------------------------------------------

@@ -125,7 +125,10 @@ def run(args):
                 _bilinear(img, pix[:, 0], pix[:, 1])).reshape(len(sel), channels)
         if args.grayscale:
             face_col = face_col[:, 0]
-        gains = texturing.global_seam_leveling(face_col, bv, adjacency)
+        gains, lev_info = texturing.global_seam_leveling(
+            face_col, bv, adjacency, return_info=True)
+        print(f"Global seam leveling: {lev_info['iterations']} sweeps, "
+              f"relative residual {lev_info['rel_residual']:.2e}")
 
     vgains = (texturing.vertex_gains_from_faces(len(verts), faces, gains)
               if gains is not None else None)
