@@ -111,10 +111,12 @@ def bench_scaling():
         solver = jax.jit(schur.make_schur_solver(
             st, obs, scene.models, prob.BAOptions(no_rig=True), cam_mask,
             max_iterations=8, cg_iterations=30, cg_tolerance=0.1))
-        r = solver(cam0, st.points)
+        # obs passed as runtime args so shardings propagate (closure
+        # constants are inlined replicated -> no real data parallelism)
+        r = solver(cam0, st.points, obs)
         jax.block_until_ready(r.cost)
         t0 = time.perf_counter()
-        r = solver(cam0, st.points)
+        r = solver(cam0, st.points, obs)
         jax.block_until_ready(r.cost)
         rates[nd] = int(r.iterations) / (time.perf_counter() - t0)
     eff = rates[n_dev] / (rates[1] * n_dev)

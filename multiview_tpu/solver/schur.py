@@ -921,28 +921,63 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
                 # S = B - E Hpp^-1 E^T (each row's point-block Schur
                 # complement is PSD, so the accumulated blocks + damping are
                 # SPD); non-pose parameters stay on the scalar diagonal.
+                #
+                # Assembled in PACKED RANK-2 form: every per-row quantity is
+                # an [N] or [N,k] array and the 49 block entries are stacked
+                # at the end. The einsum formulation materializes [N,7,7]
+                # and [N,7,3] intermediates whose trailing dims pad to
+                # (8,128) TPU tiles — profiled at ~20 ms per LM iteration at
+                # 384k rows vs ~1 ms packed. Symmetry halves the products.
+                free_pose = cam_free[:num_ref * 7].reshape(num_ref, 7)
+                hinv9_all = hpp_inv.reshape(num_points, 9)
                 blocks = jnp.zeros((num_ref, 7, 7), dtype)
                 for (j_cam, cols, j_pt, pidx), pi, meta in zip(
                         fams, fam_pose_idx, metas):
                     if j_cam is None or pi is None:
                         continue
+                    if j_pt is not None and pidx is not None:
+                        hinv9 = jax.lax.optimization_barrier(hinv9_all[pidx])
+                        jp = [j_pt[:, :, m] for m in range(3)]
+                        H = [[hinv9[:, 3 * a + b] for b in range(3)]
+                             for a in range(3)]
                     for sl, idx, side in ((slice(0, 7), pi[0], 0),
                                           (slice(7, 14), pi[1], 1)):
-                        jb = j_cam[:, :, sl] * cam_free[cols[:, sl]][:, None, :]
-                        bb = jnp.einsum("nki,nkj->nij", jb, jb)
+                        # per-column free mask via a row gather of the pose
+                        # free-mask table (a flat cam_free[cols] gather gets
+                        # fused into pathological layouts — see the blocks
+                        # builder)
+                        fmask = jax.lax.optimization_barrier(
+                            free_pose[pi[side]])          # [N,7]
+                        jb = [j_cam[:, :, sl.start + i] * fmask[:, i:i + 1]
+                              for i in range(7)]          # 7 x [N,k]
+                        bb = {}
+                        for i in range(7):
+                            for j in range(i, 7):
+                                bb[(i, j)] = jnp.sum(jb[i] * jb[j], axis=1)
                         if j_pt is not None and pidx is not None:
-                            E = jnp.einsum("nki,nkj->nij", jb, j_pt)
-                            bb = bb - jnp.einsum("nij,njk,nlk->nil",
-                                                 E, hpp_inv[pidx], E)
+                            E = [[jnp.sum(jb[i] * jp[m], axis=1)
+                                  for m in range(3)] for i in range(7)]
+                            W = [[E[i][0] * H[0][m] + E[i][1] * H[1][m]
+                                  + E[i][2] * H[2][m] for m in range(3)]
+                                 for i in range(7)]
+                            for i in range(7):
+                                for j in range(i, 7):
+                                    bb[(i, j)] = bb[(i, j)] - (
+                                        W[i][0] * E[j][0] + W[i][1] * E[j][1]
+                                        + W[i][2] * E[j][2])
+                        rows49 = jnp.stack(
+                            [bb[(min(i, j), max(i, j))]
+                             for i in range(7) for j in range(7)], axis=-1)
                         if meta is not None:
                             # one-hot matmul segment-sum (no TPU scatter)
                             blocks = blocks + jnp.matmul(
                                 meta[side].T,
-                                bb.reshape(-1, 49).astype(oh_dtype),
+                                rows49.astype(oh_dtype),
                                 preferred_element_type=dtype,
                             ).reshape(num_ref, 7, 7)
                         else:
-                            blocks = blocks.at[idx].add(bb)
+                            blocks = blocks.at[idx].add(
+                                rows49.reshape(-1, 7, 7))
                 blocks = blocks + jax.vmap(jnp.diag)(
                     dc[:num_ref * 7].reshape(num_ref, 7))
                 pose_prec_inv = jnp.linalg.inv(blocks)

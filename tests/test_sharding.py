@@ -42,8 +42,17 @@ class TestShardedSolve:
         solver8 = schur.make_schur_solver(state_r, obs_sharded, scene.models,
                                           opts, cam_mask,
                                           max_iterations=8, cg_iterations=30)
-        r8 = jax.jit(solver8)(prob.pack_state(state_r, include_points=False),
-                              state_r.points)
+        # observations passed as RUNTIME ARGUMENTS: a closure-captured
+        # sharded array is inlined as a replicated constant and GSPMD then
+        # computes the whole problem redundantly on every device (zero
+        # collectives — discovered round 3); arguments keep their
+        # shardings and partition the solve for real
+        jitted8 = jax.jit(solver8)
+        r8 = jitted8(prob.pack_state(state_r, include_points=False),
+                     state_r.points, obs_sharded)
+        hlo = jitted8.lower(prob.pack_state(state_r, include_points=False),
+                            state_r.points, obs_sharded).compile().as_text()
+        assert hlo.count("all-reduce") > 0, "sharded solve has no collectives"
 
         np.testing.assert_allclose(float(r8.initial_cost), float(r1.initial_cost),
                                    rtol=1e-10)
@@ -171,7 +180,7 @@ class TestHostChipMesh2D:
                                           cam_mask, max_iterations=4,
                                           cg_iterations=30)
         r2 = jax.jit(solver2)(prob.pack_state(st2, include_points=False),
-                              st2.points)
+                              st2.points, obs2)
         np.testing.assert_allclose(float(r2.initial_cost),
                                    float(r1.initial_cost), rtol=1e-10)
         np.testing.assert_allclose(float(r2.cost), float(r1.cost), rtol=1e-6)
