@@ -627,7 +627,6 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
         # camera blocks between calls without recompiling
         cam_free = (jnp.asarray(cam_mask_rt, template.dtype)
                     if cam_mask_rt is not None else cam_free_default)
-        c0 = cost_of(cam0, points0, obs)
         dtype = cam0.dtype
 
         # per-family (beg_idx, end_idx) for pose-block accumulation, in
@@ -701,6 +700,26 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
         else:
             metas = [None] * len(fam_struct)
 
+        # carried block Jacobians (use_blocks only): the LM loop carries
+        # (j_cam list, j_pt list, residual) AT THE CURRENT STATE, so each
+        # iteration runs family_blocks exactly ONCE — at the trial point,
+        # whose aux residual gives the accept cost, and whose blocks become
+        # the next iteration's blocks on accept. The previous structure ran
+        # family_blocks(current) + a separate full residual eval (trial)
+        # every iteration: ~1.6 residual-graph executions per iteration vs
+        # 1 now. Column/point index tables are loop constants (obs-derived).
+        if use_blocks:
+            fams0, r0 = family_blocks(cam0, points0, obs)
+            fam_cols = tuple(f[1] for f in fams0)
+            fam_pidx = tuple(f[3] for f in fams0)
+            jb0 = tuple(f[0] for f in fams0)
+            jp0 = tuple(f[2] for f in fams0)
+            c0 = 0.5 * jnp.sum(r0 * r0)
+        else:
+            jb0 = jp0 = ()
+            r0 = jnp.zeros((0,), dtype)
+            c0 = cost_of(cam0, points0, obs)
+
         class S(NamedTuple):
             cam: jnp.ndarray
             points: jnp.ndarray
@@ -710,6 +729,9 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
             it: jnp.ndarray
             cg_total: jnp.ndarray
             done: jnp.ndarray
+            jb: tuple
+            jp: tuple
+            r: jnp.ndarray
 
         def cond(s):
             return (s.it < max_iterations) & (~s.done)
@@ -736,12 +758,15 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
         def body(s):
             reduce_cols = None
             if use_blocks:
-                # zero jvp/vjp passes AND a single residual-graph execution:
-                # the row residuals ride along as the jacrev aux of the block
-                # Jacobians (materialized anyway for Hpp/the preconditioner),
-                # which drive every J/J^T product
+                # zero jvp/vjp passes and zero residual-graph executions at
+                # the current state: the carried blocks/residual (computed
+                # as last iteration's trial) drive every J/J^T product
                 lin = lin_t = None
-                fams, r = family_blocks(s.cam, s.points, obs)
+                fams = tuple(
+                    (jb, cols, jp, pidx)
+                    for jb, cols, jp, pidx in zip(s.jb, fam_cols, s.jp,
+                                                  fam_pidx))
+                r = s.r
 
                 def xr_of(j_cam, meta, xc):
                     """Gather each row's camera-param sub-vector [N,B] via
@@ -1141,7 +1166,14 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
 
             cam_new = project(s.cam + dc_step * cam_free)
             pts_new = s.points + dp
-            new_cost = cost_of(cam_new, pts_new, obs)
+            if use_blocks:
+                # ONE family_blocks per iteration: the trial point's blocks
+                # + aux residual give the accept cost now and the next
+                # iteration's Jacobians on accept
+                fams_t, r_t = family_blocks(cam_new, pts_new, obs)
+                new_cost = 0.5 * jnp.sum(r_t * r_t)
+            else:
+                new_cost = cost_of(cam_new, pts_new, obs)
 
             # exact model reduction: -g.d - 0.5|Jd|^2 - 0.5 lam d'Dd
             step_c = cam_new - s.cam
@@ -1166,13 +1198,26 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
             rel_decrease = jnp.abs(s.cost - new_cost) / jnp.maximum(s.cost, 1e-30)
             done = (good & (rel_decrease < 1e-10)) | (s.lam > 1e12)
 
+            if use_blocks:
+                def sel(a, b):
+                    return None if a is None else jnp.where(good, a, b)
+                jb_new = tuple(sel(f[0], old)
+                               for f, old in zip(fams_t, s.jb))
+                jp_new = tuple(sel(f[2], old)
+                               for f, old in zip(fams_t, s.jp))
+                r_new = jnp.where(good, r_t, s.r)
+            else:
+                jb_new, jp_new, r_new = s.jb, s.jp, s.r
+
             return S(jnp.where(good, cam_new, s.cam),
                      jnp.where(good, pts_new, s.points),
                      jnp.where(good, new_cost, s.cost),
-                     lam_new, nu_new, s.it + 1, s.cg_total + cg_k, done)
+                     lam_new, nu_new, s.it + 1, s.cg_total + cg_k, done,
+                     jb_new, jp_new, r_new)
 
         init = S(cam0, points0, c0, jnp.asarray(lam0, dtype), jnp.asarray(2.0, dtype),
-                 jnp.asarray(0), jnp.asarray(0), jnp.asarray(False))
+                 jnp.asarray(0), jnp.asarray(0), jnp.asarray(False),
+                 jb0, jp0, r0)
         out = jax.lax.while_loop(cond, body, init)
         return SchurLMResult(out.cam, out.points, out.cost, c0, out.it, out.lam,
                              out.cg_total)
