@@ -247,7 +247,13 @@ def _fit_homography_dlt(x1, x2, w=None):
         A = A * jnp.concatenate([w, w])[:, None]
     # full_matrices=False: A is [2N,9] in the inlier refit (N padded
     # correspondences), so a full U would be a [2N,2N] intermediate —
-    # gigabytes at reference-scale match counts. Vt[-1] is unchanged.
+    # gigabytes at reference-scale match counts. BUT the minimal 4-point
+    # fit gives [8,9], where economy Vt has only 8 rows and loses the
+    # null vector; zero-padding A to 9 rows leaves A^T A (hence V)
+    # unchanged while keeping Vt square.
+    if A.shape[0] < 9:
+        A = jnp.concatenate(
+            [A, jnp.zeros((9 - A.shape[0], 9), A.dtype)], axis=0)
     _, _, Vt = jnp.linalg.svd(A, full_matrices=False)
     return Vt[-1].reshape(3, 3)
 

@@ -694,8 +694,7 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
                 cache = pix_oh if kind == "pix" else dep_oh
                 if i not in cache:
                     o = obs.pixels[i] if kind == "pix" else obs.depths[i]
-                    cache[i] = (onehot(o.beg_idx), onehot(o.end_idx),
-                                o.beg_idx, o.end_idx)
+                    cache[i] = (onehot(o.beg_idx), onehot(o.end_idx))
                 metas.append(cache[i] + (jnp.asarray(ccols),))
         else:
             metas = [None] * len(fam_struct)
@@ -774,7 +773,7 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
                     SLOWER than the [N,R]@[R,7] matmul on TPU — small-row
                     gathers don't vectorize; the matmul streams the bf16
                     one-hot at full HBM bandwidth)."""
-                    ohb, ohe, bidx, eidx, ccols = meta
+                    ohb, ohe, ccols = meta
                     Wref = xc[:num_ref * 7].reshape(num_ref, 7)
                     Wb = Wref.astype(oh_dtype)
                     const = jnp.broadcast_to(xc[ccols],
@@ -791,7 +790,7 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
                     gc = jnp.zeros(layout.total, dtype)
                     gpose = jnp.zeros((num_ref, 7), dtype)
                     for meta, contrib in contribs:
-                        ohb, ohe, bidx, eidx, ccols = meta
+                        ohb, ohe, ccols = meta
                         cb = contrib.astype(oh_dtype)
                         gpose = gpose \
                             + jnp.matmul(ohb.T, cb[:, :7],
