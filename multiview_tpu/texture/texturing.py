@@ -464,7 +464,7 @@ def render_atlas(atlas: Atlas, vertices, faces, best_view, visible,
                  images: Sequence, cams: Sequence[CameraParams],
                  world_to_cam_poses, face_gain: Optional[np.ndarray] = None,
                  vertex_gain: Optional[np.ndarray] = None,
-                 max_chart: int = 64) -> np.ndarray:
+                 max_chart: Optional[int] = None) -> np.ndarray:
     """Fill the atlas page: every chart texel is lifted to 3D, projected into
     its face's chosen view through the full distortion model, and bilinearly
     sampled (projectTexture atlas variant, texture_processing.cc:1165-1433).
@@ -472,11 +472,23 @@ def render_atlas(atlas: Atlas, vertices, faces, best_view, visible,
     Charts are processed in one batched kernel over fixed [max_chart]^2
     tiles; charts larger than max_chart become several tiles (shifted 3D
     origins), so every mapped UV texel is filled regardless of face size.
+    ``max_chart=None`` picks the power of two covering the 95th-percentile
+    chart dimension (clamped to [8, 64]): kernel and gain work scale with
+    max_chart^2 whatever the chart sizes, so a fixed 64 wastes ~98% of the
+    texels on fine meshes (measured 60 s -> ~2 s at a 1 cm/texel pipeline
+    run whose charts are ~8x8).
     Gains may be per-face [F] / [F,C] or per-vertex [V] / [V,C] (per-channel
     seam leveling). Returns the texture page [H,W] (or [H,W,C]) float [0,1]
     for a single-page atlas, or the list of pages for a multi-page atlas.
     """
+    import os as _os
+    import time as _time
+    _dbg = bool(_os.environ.get("MV_RENDER_TIMING"))
+    _acc = {"tiles": 0.0, "kernel": 0.0, "gain": 0.0, "scatter": 0.0}
     F = len(faces)
+    if max_chart is None:
+        p95 = float(np.percentile(atlas.face_wh.max(axis=1), 95)) if F else 8.0
+        max_chart = int(min(64, max(8, 1 << int(np.ceil(np.log2(max(p95, 1)))))))
     sample_img = np.asarray(images[0])
     channels = () if sample_img.ndim == 2 else (sample_img.shape[2],)
     pages = _new_pages(atlas, channels)
@@ -490,7 +502,9 @@ def render_atlas(atlas: Atlas, vertices, faces, best_view, visible,
         sel = np.nonzero(visible & (best_view == v))[0]
         if len(sel) == 0:
             continue
+        _t = _time.perf_counter()
         tile_face, tile_xy = _chart_tiles(atlas, sel, max_chart)
+        _acc["tiles"] += _time.perf_counter() - _t
         # per-tile 3D origin: chart origin shifted by the tile offset
         basis_t = atlas.face_basis[tile_face]               # [T,2,3]
         org_t = (atlas.face_origin3d[tile_face]
@@ -512,10 +526,13 @@ def render_atlas(atlas: Atlas, vertices, faces, best_view, visible,
                 idx = np.concatenate([idx, np.full(CHUNK - n_part, idx[0])])
             basis = jnp.asarray(basis_t[idx], jnp.float32)
             org = jnp.asarray(org_t[idx], jnp.float32)
+            _t = _time.perf_counter()
             out = _render_charts(cam32, basis, org, w2c, img,
                                  jnp.float32(atlas.pixel_size), max_chart)
             chunks.append(np.asarray(out)[:n_part])
+            _acc["kernel"] += _time.perf_counter() - _t
         colors = np.concatenate(chunks)
+        _t = _time.perf_counter()
         if vertex_gain is not None:
             # barycentric interpolation of per-vertex gains over each chart
             vertex_gain = np.asarray(vertex_gain)
@@ -554,8 +571,13 @@ def render_atlas(atlas: Atlas, vertices, faces, best_view, visible,
                 fg = fg[:, None, None]
                 colors = colors + (fg[..., None] if channels else fg)
 
+        _acc["gain"] += _time.perf_counter() - _t
+        _t = _time.perf_counter()
         _scatter_tiles_into_pages(pages, atlas, tile_face, tile_xy, colors,
                                   max_chart, accumulate=False)
+        _acc["scatter"] += _time.perf_counter() - _t
+    if _dbg:
+        print(f"[render_atlas] {_acc}")
     return _from_pages([np.clip(p, 0.0, 1.0) for p in pages])
 
 
@@ -626,7 +648,7 @@ def face_adjacency(faces: np.ndarray) -> np.ndarray:
 
 def global_seam_leveling(face_colors: np.ndarray, best_view: np.ndarray,
                          adjacency: np.ndarray, reg: float = 1e-3,
-                         iterations: int = 2000, tol: float = 1e-6,
+                         iterations: int = 2000, tol: float = 1e-4,
                          return_info: bool = False):
     """Per-face additive gain g minimizing
     sum_adj (g_a - g_b + c_a - c_b)^2 [only across view seams] + reg*sum g^2
@@ -678,10 +700,16 @@ def global_seam_leveling(face_colors: np.ndarray, best_view: np.ndarray,
 
         def body(carry):
             g, _, it = carry
-            g_new = (1.0 - omega) * g + omega * rhs_of(g) / denom
+
+            # 8 sweeps per residual check: the residual evaluation costs a
+            # full rhs pass, so checking every sweep doubled the work
+            def sweep(_, gg):
+                return (1.0 - omega) * gg + omega * rhs_of(gg) / denom
+
+            g_new = jax.lax.fori_loop(0, 8, sweep, g)
             # normal-equations residual of the UPDATED iterate
             res = jnp.max(jnp.abs(rhs_of(g_new) - denom * g_new))
-            return g_new, res, it + 1
+            return g_new, res, it + 8
 
         return jax.lax.while_loop(
             cond, body, (g0, jnp.asarray(jnp.inf, jnp.float32),
@@ -806,22 +834,89 @@ def seam_step_stats(page: np.ndarray, atlas: Atlas, vertices, faces,
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("iterations",))
+def _jacobi_dirichlet_jit(corr, dval, dmask, iterations: int):
+    """Device body of _jacobi_dirichlet: a fori_loop of neighbor averages.
+
+    Neighbor access is ROLL + edge masks (replicated borders), channels
+    moved off the minor dims: concatenating shifted SLICES along the
+    (8,128)-tiled axes forces misaligned tile copies every sweep —
+    measured 8.4 s for 60 sweeps at [10k,32,32,3] vs 0.21 s with rolls
+    (lane/sublane rotations) and iota masks."""
+    c0 = jnp.moveaxis(corr, -1, 1)                   # [N,C,G,G]
+    dv = jnp.moveaxis(dval, -1, 1)
+    dm = jnp.moveaxis(dmask, -1, 1)                  # [N,1,G,G]
+    G = c0.shape[2]
+    ri = jnp.arange(G).reshape(1, 1, G, 1)
+    ci = jnp.arange(G).reshape(1, 1, 1, G)
+
+    def sweep(_, c):
+        up = jnp.where(ri == 0, c, jnp.roll(c, 1, axis=2))
+        dn = jnp.where(ri == G - 1, c, jnp.roll(c, -1, axis=2))
+        lf = jnp.where(ci == 0, c, jnp.roll(c, 1, axis=3))
+        rt = jnp.where(ci == G - 1, c, jnp.roll(c, -1, axis=3))
+        return jnp.where(dm, dv, (up + dn + lf + rt) * 0.25)
+
+    out = jax.lax.fori_loop(0, iterations, sweep, c0)
+    return jnp.moveaxis(out, 1, -1)
+
+
 def _jacobi_dirichlet(corr, dval, dmask, iterations):
     """Damped-free Jacobi harmonic fill with Dirichlet cells and replicated
-    (Neumann) borders. corr/dval [N,G,G,C], dmask [N,G,G,1] bool."""
-    for _ in range(iterations):
-        n = (np.concatenate([corr[:, :1], corr[:, :-1]], axis=1)
-             + np.concatenate([corr[:, 1:], corr[:, -1:]], axis=1)
-             + np.concatenate([corr[:, :, :1], corr[:, :, :-1]], axis=2)
-             + np.concatenate([corr[:, :, 1:], corr[:, :, -1:]], axis=2)) * 0.25
-        corr = np.where(dmask, dval, n)
-    return corr
+    (Neumann) borders. corr/dval [N,G,G,C], dmask [N,G,G,1] bool.
+
+    Runs as ONE compiled device loop — the numpy version streamed
+    ~iterations x 5 full-array copies through host memory (measured ~5 min
+    of the texture stage at a 10k-face pipeline run; ~1 s on device)."""
+    return np.asarray(_jacobi_dirichlet_jit(
+        jnp.asarray(corr), jnp.asarray(dval), jnp.asarray(dmask),
+        int(iterations)))
+
+
+@functools.partial(jax.jit, static_argnames=("page_idx", "mc"))
+def _apply_field_to_page_jit(page_dev, fields, tf, txy, fw, fh, uv0, wh,
+                             face_page, page_idx: int, mc: int):
+    """Bilinearly upsample each tile's [G,G,C] field over its chart texels
+    and scatter-add into ONE page — device-resident (the page is the only
+    host transfer). Tiles of other pages / out-of-chart texels scatter 0
+    at clamped indices. corr is clipped with the page into [0,1]."""
+    G = fields.shape[1]
+    C = fields.shape[3]
+    gy, gx = jnp.meshgrid(jnp.arange(mc), jnp.arange(mc), indexing="ij")
+    tx_off = txy[:, 0, None, None] + gx[None]       # [T,mc,mc]
+    ty_off = txy[:, 1, None, None] + gy[None]
+    fwt = fw[tf][:, None, None]
+    fht = fh[tf][:, None, None]
+    gxn = jnp.clip(tx_off.astype(jnp.float32) / fwt * (G - 1), 0, G - 1)
+    gyn = jnp.clip(ty_off.astype(jnp.float32) / fht * (G - 1), 0, G - 1)
+    x0 = jnp.floor(gxn).astype(jnp.int32)
+    y0 = jnp.floor(gyn).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, G - 1)
+    y1 = jnp.minimum(y0 + 1, G - 1)
+    fx = (gxn - x0)[..., None]
+    fy = (gyn - y0)[..., None]
+    fidx = tf[:, None, None]
+    corr = (fields[fidx, y0, x0] * (1 - fx) * (1 - fy)
+            + fields[fidx, y0, x1] * fx * (1 - fy)
+            + fields[fidx, y1, x0] * (1 - fx) * fy
+            + fields[fidx, y1, x1] * fx * fy)       # [T,mc,mc,C]
+    valid = ((tx_off < wh[tf, 0][:, None, None])
+             & (ty_off < wh[tf, 1][:, None, None])
+             & (face_page[tf] == page_idx)[:, None, None])
+    px = jnp.where(valid, uv0[tf, 0][:, None, None] + tx_off, 0).ravel()
+    py = jnp.where(valid, uv0[tf, 1][:, None, None] + ty_off, 0).ravel()
+    if page_dev.ndim == 2:
+        vals = jnp.where(valid, corr[..., 0], 0.0).ravel()
+    else:
+        vals = jnp.where(valid[..., None], corr, 0.0).reshape(-1, C)
+    return jnp.clip(page_dev.at[py, px].add(vals), 0.0, 1.0)
 
 
 def local_seam_leveling(page: np.ndarray, atlas: Atlas, vertices, faces,
                         best_view, visible, adjacency: np.ndarray,
                         grid: int = 32, iterations: int = 60,
-                        samples_per_edge: int = 8, max_chart: int = 64,
+                        samples_per_edge: int = 8,
+                        max_chart: Optional[int] = None,
                         chunk: int = 8192) -> np.ndarray:
     """Per-texel local seam leveling — the role of texrecon's Poisson texel
     editing (`/root/reference/rig_calibrator/bin/texrecon:132-154`,
@@ -837,6 +932,17 @@ def local_seam_leveling(page: np.ndarray, atlas: Atlas, vertices, faces,
 
     Accepts a single page or the list of pages of a multi-page atlas and
     returns the same form."""
+    import os as _os
+    import time as _time
+    _dbg = bool(_os.environ.get("MV_RENDER_TIMING"))
+    _t0 = _time.perf_counter()
+
+    def _mk(label):
+        nonlocal _t0
+        if _dbg:
+            print(f"[local_leveling] {label}: {_time.perf_counter() - _t0:.1f} s")
+        _t0 = _time.perf_counter()
+
     pages = _as_pages(page)
     best_view = np.asarray(best_view)
     visible = np.asarray(visible)
@@ -849,8 +955,10 @@ def local_seam_leveling(page: np.ndarray, atlas: Atlas, vertices, faces,
     if len(pairs) == 0:
         return page
 
+    _mk("edge setup")
     chart_xy, colors = _edge_samples(page, atlas, vertices, faces, pairs,
                                      edge_verts, samples_per_edge)
+    _mk("edge samples")
     colors = colors.reshape(len(pairs), 2, samples_per_edge, channels)
     mean_col = colors.mean(axis=1, keepdims=True)
     targets = mean_col - colors                     # [E,2,K,C] per-side pull
@@ -860,19 +968,32 @@ def local_seam_leveling(page: np.ndarray, atlas: Atlas, vertices, faces,
     fw = np.maximum(atlas.face_wh[:, 0] - 1.0, 1.0)
     fh = np.maximum(atlas.face_wh[:, 1] - 1.0, 1.0)
 
+    # Everything from here to the final page pull-back stays RESIDENT ON
+    # DEVICE: the earlier chunked host<->device version moved the [F,G,G,C]
+    # rasters through the (remote-tunnel) transfer path every chunk and
+    # level — measured ~90 s of pure transfer at F=59k faces vs ~2 s
+    # device-resident.
+    fw_j = jnp.asarray(fw, jnp.float32)
+    fh_j = jnp.asarray(fh, jnp.float32)
+    targets_j = jnp.asarray(targets, jnp.float32)   # [E,2,K,C]
+    chart_j = jnp.asarray(chart_xy, jnp.float32)    # [E,2,K,2]
+    pairs_j = jnp.asarray(pairs.astype(np.int32))
+
     def scatter(G):
-        tsum = np.zeros((F, G, G, channels), np.float32)
-        wcnt = np.zeros((F, G, G, 1), np.float32)
+        tsum = jnp.zeros((F, G, G, channels), jnp.float32)
+        wcnt = jnp.zeros((F, G, G, 1), jnp.float32)
         for side in range(2):
-            f = pairs[:, side]
-            cgx = np.rint(chart_xy[:, side, :, 0] / fw[f, None] * (G - 1)).astype(np.int64)
-            cgy = np.rint(chart_xy[:, side, :, 1] / fh[f, None] * (G - 1)).astype(np.int64)
-            ff = np.repeat(f, samples_per_edge)
-            np.add.at(tsum, (ff, cgy.ravel(), cgx.ravel()),
-                      targets[:, side].reshape(-1, channels))
-            np.add.at(wcnt, (ff, cgy.ravel(), cgx.ravel()), 1.0)
+            f = pairs_j[:, side]
+            cgx = jnp.rint(chart_j[:, side, :, 0] / fw_j[f, None]
+                           * (G - 1)).astype(jnp.int32)
+            cgy = jnp.rint(chart_j[:, side, :, 1] / fh_j[f, None]
+                           * (G - 1)).astype(jnp.int32)
+            ff = jnp.repeat(f, samples_per_edge)
+            tsum = tsum.at[ff, cgy.ravel(), cgx.ravel()].add(
+                targets_j[:, side].reshape(-1, channels))
+            wcnt = wcnt.at[ff, cgy.ravel(), cgx.ravel()].add(1.0)
         dmask = wcnt > 0
-        dval = tsum / np.maximum(wcnt, 1.0)
+        dval = tsum / jnp.maximum(wcnt, 1.0)
         return dval, dmask
 
     # coarse-to-fine harmonic fill (Jacobi alone needs O(G^2) sweeps)
@@ -885,47 +1006,34 @@ def local_seam_leveling(page: np.ndarray, atlas: Atlas, vertices, faces,
     fields = None
     for G in levels:
         dval, dmask = scatter(G)
-        for c0 in range(0, F, chunk):
-            sl = slice(c0, min(c0 + chunk, F))
-            if fields is None:
-                cur = np.zeros((sl.stop - sl.start, G, G, channels), np.float32)
-            else:
-                cur = fields[sl].repeat(2, axis=1).repeat(2, axis=2)[:, :G, :G]
-            out = _jacobi_dirichlet(cur, dval[sl], dmask[sl], iterations)
-            if c0 == 0:
-                new_fields = np.empty((F, G, G, channels), np.float32)
-            new_fields[sl] = out
-        fields = new_fields
+        if fields is None:
+            cur = jnp.zeros((F, G, G, channels), jnp.float32)
+        else:
+            cur = jnp.repeat(jnp.repeat(fields, 2, axis=1),
+                             2, axis=2)[:, :G, :G]
+        fields = _jacobi_dirichlet_jit(cur, dval, dmask, int(iterations))
+    fields.block_until_ready()
 
-    # apply: bilinearly upsample each face's field over its chart texels
+    _mk("multigrid jacobi")
+    # apply: bilinearly upsample each face's field over its chart texels,
+    # scatter into device-resident pages, pull each page back once
     G = levels[-1]
+    if max_chart is None:
+        p95 = float(np.percentile(atlas.face_wh.max(axis=1), 95)) if F else 8.0
+        max_chart = int(min(64, max(8, 1 << int(np.ceil(np.log2(max(p95, 1)))))))
     sel = np.nonzero(visible)[0]
     tile_face, tile_xy = _chart_tiles(atlas, sel, max_chart)
-    gy, gx = np.meshgrid(np.arange(max_chart), np.arange(max_chart), indexing="ij")
-    out_pages = [p.copy() for p in pages]
-    for c0 in range(0, len(tile_face), chunk):
-        tf = tile_face[c0:c0 + chunk]
-        txy = tile_xy[c0:c0 + chunk]
-        gxn = (txy[:, 0, None, None] + gx[None]) / fw[tf, None, None] * (G - 1)
-        gyn = (txy[:, 1, None, None] + gy[None]) / fh[tf, None, None] * (G - 1)
-        gxn = np.clip(gxn, 0, G - 1)
-        gyn = np.clip(gyn, 0, G - 1)
-        x0 = np.floor(gxn).astype(np.int64)
-        y0 = np.floor(gyn).astype(np.int64)
-        x1 = np.minimum(x0 + 1, G - 1)
-        y1 = np.minimum(y0 + 1, G - 1)
-        fx = (gxn - x0)[..., None]
-        fy = (gyn - y0)[..., None]
-        fidx = tf[:, None, None]
-        corr = (fields[fidx, y0, x0] * (1 - fx) * (1 - fy)
-                + fields[fidx, y0, x1] * fx * (1 - fy)
-                + fields[fidx, y1, x0] * (1 - fx) * fy
-                + fields[fidx, y1, x1] * fx * fy)       # [T,mc,mc,C]
-        if pages[0].ndim == 2:
-            corr = corr[..., 0]
-        _scatter_tiles_into_pages(out_pages, atlas, tf, txy, corr, max_chart,
-                                  accumulate=True)
-    out_pages = [np.clip(p, 0.0, 1.0) for p in out_pages]
+    tf_j = jnp.asarray(tile_face.astype(np.int32))
+    txy_j = jnp.asarray(tile_xy.astype(np.int32))
+    uv0_j = jnp.asarray(atlas.face_uv0.astype(np.int32))
+    wh_j = jnp.asarray(atlas.face_wh.astype(np.int32))
+    pg_j = jnp.asarray(atlas.face_page.astype(np.int32))
+    out_pages = []
+    for p, pg_arr in enumerate(pages):
+        out_pages.append(np.asarray(_apply_field_to_page_jit(
+            jnp.asarray(pg_arr), fields, tf_j, txy_j, fw_j, fh_j,
+            uv0_j, wh_j, pg_j, p, max_chart)))
+    _mk("apply upsample")
     return out_pages if isinstance(page, (list, tuple)) else out_pages[0]
 
 

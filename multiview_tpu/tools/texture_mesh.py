@@ -40,6 +40,7 @@ def add_args(p: argparse.ArgumentParser):
 
 
 def run(args):
+    import time as _time
     import jax.numpy as jnp
     from multiview_tpu.io import rig_config as rc, nvm as nvm_io, ply
     from multiview_tpu.texture import texturing
@@ -74,6 +75,13 @@ def run(args):
         raise SystemExit("No posed images found")
     print(f"Texturing from {len(images)} views")
 
+    _t0 = _time.perf_counter()
+
+    def _mark(label):
+        nonlocal _t0
+        print(f"[texture] {label}: {_time.perf_counter() - _t0:.1f} s")
+        _t0 = _time.perf_counter()
+
     poses_j = jnp.asarray(np.stack(poses))
     cost, usable = texturing.view_costs(
         jnp.asarray(verts), jnp.asarray(faces), poses_j,
@@ -84,6 +92,7 @@ def run(args):
             list(poses_j), usable)
         keep, _ = texturing.gauss_clamping(colors, usable)
         cost = jnp.where(keep, cost, jnp.inf)
+    _mark("view costs + clamping")
     adjacency = texturing.face_adjacency(faces)
     if args.smoothness_weight > 0 and len(adjacency):
         nbr = texturing.face_neighbors(faces, adjacency)
@@ -100,6 +109,7 @@ def run(args):
     else:
         best = jnp.argmin(cost, axis=-1).astype(jnp.int32)
         visible = jnp.isfinite(jnp.min(cost, axis=-1))
+    _mark("adjacency + MRF labeling")
     atlas = texturing.build_atlas(verts, faces, pixel_size=args.pixel_size,
                                   max_page=args.max_page)
     if atlas.num_pages > 1:
@@ -130,11 +140,13 @@ def run(args):
         print(f"Global seam leveling: {lev_info['iterations']} sweeps, "
               f"relative residual {lev_info['rel_residual']:.2e}")
 
+    _mark("atlas + global gains")
     vgains = (texturing.vertex_gains_from_faces(len(verts), faces, gains)
               if gains is not None else None)
     page = texturing.render_atlas(atlas, verts, faces, best, visible, images,
                                   cams, list(poses_j), face_gain=gains,
                                   vertex_gain=vgains)
+    _mark("render atlas")
     if len(adjacency):
         stats = texturing.seam_step_stats(page, atlas, verts, faces, best,
                                           visible, adjacency)
@@ -145,6 +157,7 @@ def run(args):
         stats = texturing.seam_step_stats(page, atlas, verts, faces, best,
                                           visible, adjacency)
         print(f"Seam step after local leveling: {stats}")
+    _mark("local seam leveling + stats")
     out = Path(args.out_dir)
     obj = texturing.write_textured_obj(out / "textured_mesh", verts, faces,
                                        atlas, page)
