@@ -123,6 +123,16 @@ def _reresect_views(poses, trackset, sensors_of, cam_params, thr,
 
 
 def run(args):
+    import os as _os
+    import time as _time
+    _t0 = _time.perf_counter()
+    _dbg = True
+
+    def _mark(label):
+        nonlocal _t0
+        print(f"[sfm-init] {label}: {_time.perf_counter() - _t0:.1f} s")
+        _t0 = _time.perf_counter()
+
     import jax.numpy as jnp
     from multiview_tpu.io import rig_config as rc, nvm as nvm_io
     from multiview_tpu.sfm import pipeline as fe, global_sfm
@@ -144,10 +154,29 @@ def run(args):
     print(f"Found {len(records)} images")
 
     cfg = common.frontend_config_from_args(args)
+    _mark("load images")
     trackset = fe.detect_match_features([r.payload for r in records], cfg)
+    _mark("detect+match+tracks")
     print(f"Built {len(trackset.tracks)} tracks")
 
-    # pairwise unit-plane correspondences from the tracks
+    # pairwise unit-plane correspondences from the tracks. Undistortion is
+    # batched ONE call per image: converting each observation individually
+    # dispatched thousands of single-point device ops (each a multi-ms
+    # round-trip through the remote-compile tunnel — measured 85 s of the
+    # stage at 5 images/391 tracks; ~1 s batched).
+    from multiview_tpu.utils.padding import pad_rows_pow2
+    und_per_img = []
+    for i in range(len(records)):
+        cp = cam_params[sensors_of[i]]
+        kps_i = np.asarray(trackset.keypoints[i])
+        if len(kps_i) == 0:
+            und_per_img.append(np.zeros((0, 2)))
+            continue
+        kp_pad = pad_rows_pow2(kps_i.astype(np.float64))
+        u = np.asarray(cp.convert(jnp.asarray(kp_pad), DISTORTED,
+                                  UNDISTORTED_C))[:len(kps_i)]
+        und_per_img.append(u / float(cp.mean_focal))
+
     pair_data = {}
     pair_pids = {}
     for pid, track in enumerate(trackset.tracks):
@@ -155,13 +184,8 @@ def run(args):
         for a in range(len(cids)):
             for b in range(a + 1, len(cids)):
                 i, j = cids[a], cids[b]
-                cpi, cpj = cam_params[sensors_of[i]], cam_params[sensors_of[j]]
-                ki = trackset.keypoints[i][track[i]]
-                kj = trackset.keypoints[j][track[j]]
-                ui = np.asarray(cpi.convert(jnp.asarray(ki), DISTORTED,
-                                            UNDISTORTED_C)) / float(cpi.mean_focal)
-                uj = np.asarray(cpj.convert(jnp.asarray(kj), DISTORTED,
-                                            UNDISTORTED_C)) / float(cpj.mean_focal)
+                ui = und_per_img[i][track[i]]
+                uj = und_per_img[j][track[j]]
                 pair_data.setdefault((i, j), ([], []))
                 pair_data[(i, j)][0].append(ui)
                 pair_data[(i, j)][1].append(uj)
@@ -195,6 +219,7 @@ def run(args):
         print(f"Incremental SfM registered {int(reg_mask.sum())}"
               f"/{len(records)} views")
     else:
+        _mark("pair data prep")
         poses, reg_mask = global_sfm.run_global_sfm(
             pair_data, len(records), pair_pids=pair_pids, return_mask=True)
 
@@ -212,6 +237,7 @@ def run(args):
         trackset = subset_views(trackset, keep)
         poses = jnp.asarray(np.asarray(poses)[keep])
 
+    _mark("global/incremental sfm")
     # ---- robust BA refinement (TheiaSfM runs a full Huber BA after global
     # init, theia_flags.txt:26-165 — essential here: direction-only position
     # averaging cannot recover spacing along collinear trajectories; the
@@ -256,6 +282,7 @@ def run(args):
         if n_fix:
             poses = refine_ba(poses)
 
+    _mark("robust BA refinement")
     # triangulate all tracks with the initial poses
     cam_idx, fid, pix, pid = tracks_to_arrays(trackset)
     und, focal_rows = _undistort_obs_batched(pix, cam_idx, sensors_of,
@@ -293,5 +320,6 @@ def run(args):
         pid_to_xyz=np.asarray(xyz)[okm],
         world_to_cam=np.asarray(pose_mod.pose_to_matrix(poses)))
     nvm_io.write_nvm(out / "cameras.nvm", data)
+    _mark("triangulate + write")
     print(f"Writing: {out/'cameras.nvm'}")
     return 0
