@@ -325,7 +325,8 @@ def _extract_patches(bases, xy, scale, sigma0):
 
     Returns (patches [K,P,P], cx, cy patch-local centers, sloc local scale).
     """
-    H, W = bases[0].shape
+    H = max(bases[0].shape[0], _PATCH)   # canvas >= window (tiny images)
+    W = max(bases[0].shape[1], _PATCH)
     canvas = jnp.stack([
         jnp.pad(b, ((0, H - b.shape[0]), (0, W - b.shape[1])), mode="edge")
         for b in bases])                                      # [O,H,W]
