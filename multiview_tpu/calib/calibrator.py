@@ -116,23 +116,60 @@ def _global_focal(state: prob.RigState, observations: prob.Observations):
     return jnp.concatenate(parts)
 
 
+def _resharded_like(old_mask, merged: np.ndarray):
+    new_mask = jnp.asarray(merged)
+    sharding = getattr(old_mask, "sharding", None)
+    if sharding is not None and getattr(sharding, "mesh", None) is not None:
+        new_mask = jax.device_put(new_mask, sharding)
+    return new_mask
+
+
 def _scatter_mask_updates(observations: prob.Observations,
                           new_global_mask: np.ndarray) -> prob.Observations:
-    """Split a global mask back into per-sensor PixelObs masks (monotone AND).
-    The updated mask keeps the old mask's sharding (outlier passes must not
-    silently unshard a mesh-distributed problem)."""
+    """Split a global mask back into per-sensor PixelObs masks (monotone AND)
+    AND release the depth observations of features that just died.
+
+    The reference re-adds ``BracketedDepthError`` blocks each pass only for
+    features still flagged inlier (`rig_calibrator.cc:1759-1794`, inlier gate
+    at `:1620-1621`) — a feature flagged outlier loses its depth constraint
+    too. Here that is: each DepthObs row's mask is ANDed with the surviving
+    pixel mask at its ``pix_row``; rows without pix_row bookkeeping fall back
+    to track-level release (die when their whole track has no surviving pixel
+    inliers). Updated masks keep the old masks' sharding (outlier passes must
+    not silently unshard a mesh-distributed problem)."""
     out = []
     off = 0
     for obs in observations.pixels:
         n = len(obs)
         merged = np.asarray(obs.mask) & new_global_mask[off:off + n]
-        new_mask = jnp.asarray(merged)
-        sharding = getattr(obs.mask, "sharding", None)
-        if sharding is not None and getattr(sharding, "mesh", None) is not None:
-            new_mask = jax.device_put(new_mask, sharding)
-        out.append(dataclasses.replace(obs, mask=new_mask))
+        out.append(dataclasses.replace(obs, mask=_resharded_like(obs.mask, merged)))
         off += n
-    return dataclasses.replace(observations, pixels=tuple(out))
+
+    new_depths = []
+    if observations.depths:
+        # per-point survivor counts for the pix_row-less fallback
+        alive_pid = None
+        for dob in observations.depths:
+            old = np.asarray(dob.mask)
+            if dob.pix_row is not None:
+                feat_alive = new_global_mask[np.asarray(dob.pix_row)]
+            else:
+                if alive_pid is None:
+                    npts = 1 + max(int(np.asarray(o.point_idx).max(initial=0))
+                                   for o in observations.pixels)
+                    alive_pid = np.zeros(npts, bool)
+                    o2 = 0
+                    for o in observations.pixels:
+                        pidx = np.asarray(o.point_idx)
+                        sel = new_global_mask[o2:o2 + len(o)]
+                        alive_pid[pidx[sel]] = True
+                        o2 += len(o)
+                feat_alive = alive_pid[np.asarray(dob.point_idx)]
+            merged = old & feat_alive
+            new_depths.append(dataclasses.replace(
+                dob, mask=_resharded_like(dob.mask, merged)))
+    return dataclasses.replace(observations, pixels=tuple(out),
+                               depths=tuple(new_depths))
 
 
 # ----------------------------------------------------------------------------
@@ -462,10 +499,19 @@ def optimize_rig(
         if verbose:
             print(f"\nOptimization pass {pass_i + 1} / {num_passes}")
 
-        # triangulate with current cameras; kill tracks that fail
+        # triangulate with current cameras; kill tracks that fail. Dead
+        # tracks are PINNED to their previous (finite) value — a masked
+        # residual row still evaluates, and 0*NaN = NaN would poison both
+        # the solve and the printed stats (incremental.py pin+mask pattern)
         xyz, ok = retriangulate(state, observations, models, table)
+        ok_np = np.asarray(ok) & np.isfinite(np.asarray(xyz)).all(axis=-1)
+        prev_pts = np.asarray(state.points)
+        prev_pts = np.where(np.isfinite(prev_pts), prev_pts, 0.0)
+        xyz = jnp.asarray(np.where(ok_np[:, None], np.asarray(xyz), prev_pts),
+                          state.dtype)
+        ok = jnp.asarray(ok_np)
         state = dataclasses.replace(state, points=xyz)
-        bad = ~np.asarray(ok)
+        bad = ~ok_np
         if bad.any():
             gmask = np.asarray(_global_mask(observations)).copy()
             track_rows = table.track_obs[bad]

@@ -318,10 +318,14 @@ def _extract_patches(bases, xy, scale, sigma0):
     inside that window with batched matmuls (see ``_resample``).
 
     Each keypoint is assigned the octave where its local scale falls in
-    [sigma0, 2*sigma0): the descriptor extent (+-8 * 2*sigma0*spacing) then
-    always fits the static window. Octave images are edge-padded onto a
-    full-resolution canvas so out-of-bounds sampling clamps (the former
-    map_coordinates mode="nearest" semantics).
+    [sigma0, 2*sigma0), so the descriptor extent fits the static window —
+    EXCEPT the top octave (o is clipped to len(bases)-1), whose two highest
+    scale slots keep sloc up to 2.52*sigma0 and rotated corner samples can
+    exceed the half-window; those samples clamp to the window edge in
+    ``_resample`` (nearest semantics), a graceful quality taper rather than
+    a hard error. Octave images are edge-padded onto a full-resolution
+    canvas so out-of-bounds sampling clamps (the former map_coordinates
+    mode="nearest" semantics).
 
     Returns (patches [K,P,P], cx, cy patch-local centers, sloc local scale).
     """
@@ -355,6 +359,12 @@ def _resample(patches, pcx, pcy, step, m: int):
     lin = jnp.arange(m, dtype=jnp.float32) - (m - 1) / 2.0
     rows = pcy[:, None] + lin[None, :] * step[:, None]        # [K,m]
     cols = pcx[:, None] + lin[None, :] * step[:, None]
+    # clamp into the window so out-of-window samples read the edge value
+    # (nearest/clamp semantics — the window edge coincides with the image
+    # edge after ox/oy clipping in _extract_patches); without this the hat
+    # weights vanish and border keypoints silently read 0.0
+    rows = jnp.clip(rows, 0.0, _PATCH - 1.0)
+    cols = jnp.clip(cols, 0.0, _PATCH - 1.0)
     idx = jnp.arange(_PATCH, dtype=jnp.float32)
     wr = jnp.clip(1.0 - jnp.abs(rows[:, :, None] - idx), 0.0, 1.0)  # [K,m,P]
     wc = jnp.clip(1.0 - jnp.abs(cols[:, :, None] - idx), 0.0, 1.0)
@@ -363,14 +373,20 @@ def _resample(patches, pcx, pcy, step, m: int):
     return jnp.einsum("kmq,knq->kmn", t, wc, precision=hp)
 
 
-def _histogram(weights, bins, nbins: int):
+def _histogram(weights, bins, nbins: int, weight_dtype=jnp.bfloat16):
     """[K,S] weights scattered into [K,nbins] by [K,S] int bins — as a
     one-hot batched matmul (TPU scatter-add serializes per row: measured
     3.1 s for 8x10k keypoint histograms; the one-hot contraction streams
-    on the MXU instead)."""
-    oh = (bins[:, :, None] == jnp.arange(nbins)).astype(jnp.bfloat16)
+    on the MXU instead).
+
+    The one-hot matrix is bf16 (exact 0/1); the weights default to bf16
+    (~0.4% per-sample rounding, accumulation is f32) — an accepted tradeoff
+    for the 128-dim descriptor contractions. Argmax-sensitive callers (the
+    36-bin orientation peak, where a flipped near-tie rotates the whole
+    descriptor) pass weight_dtype=f32."""
+    oh = (bins[:, :, None] == jnp.arange(nbins)).astype(weight_dtype)
     return jax.lax.dot_general(
-        weights.astype(jnp.bfloat16)[:, None, :], oh,
+        weights.astype(weight_dtype)[:, None, :], oh,
         (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)[:, 0, :]
 
@@ -389,7 +405,7 @@ def _orientations(patches, pcx, pcy, sloc, n: int = 16):
     wy, wx = jnp.meshgrid(lin, lin, indexing="ij")
     w = jnp.exp(-(wx * wx + wy * wy) / (2 * (n / 3.0) ** 2))
     hist = _histogram((mag * w[None]).reshape(K, -1),
-                      bins.reshape(K, -1), 36)
+                      bins.reshape(K, -1), 36, weight_dtype=jnp.float32)
     # smooth circularly
     hist = (jnp.roll(hist, 1, -1) + hist + jnp.roll(hist, -1, -1)) / 3.0
     peak = jnp.argmax(hist, axis=-1)
