@@ -193,6 +193,204 @@ def robust_rotation_averaging(graph: ViewGraph, num_views: int,
     return best_q, filtered
 
 
+def _eades_order(src: np.ndarray, dst: np.ndarray, w: np.ndarray,
+                 num_views: int) -> np.ndarray:
+    """Greedy Eades–Lin–Smyth ordering minimizing backward-edge weight of a
+    weighted directed graph (the minimum-feedback-arc-set heuristic 1DSfM
+    uses per projection subproblem). Returns a permutation [V] of node ids
+    in left-to-right order."""
+    V = num_views
+    out_w = np.zeros(V)
+    in_w = np.zeros(V)
+    np.add.at(out_w, src, w)
+    np.add.at(in_w, dst, w)
+    adj_out: list = [[] for _ in range(V)]
+    adj_in: list = [[] for _ in range(V)]
+    for s, t, ww in zip(src, dst, w):
+        adj_out[s].append((t, ww))
+        adj_in[t].append((s, ww))
+    alive = np.ones(V, bool)
+    head: list = []
+    tail: list = []
+    score = out_w - in_w
+    for _ in range(V):
+        live_out = np.where(alive, out_w, np.inf)
+        live_in = np.where(alive, in_w, np.inf)
+        sinks = np.nonzero(alive & (out_w <= 1e-12))[0]
+        if sinks.size:
+            v = int(sinks[0])
+            tail.append(v)
+        else:
+            sources = np.nonzero(alive & (in_w <= 1e-12))[0]
+            if sources.size:
+                v = int(sources[0])
+            else:
+                v = int(np.argmax(np.where(alive, score, -np.inf)))
+            head.append(v)
+        alive[v] = False
+        for t, ww in adj_out[v]:
+            if alive[t]:
+                in_w[t] -= ww
+                score[t] = out_w[t] - in_w[t]
+        for s, ww in adj_in[v]:
+            if alive[s]:
+                out_w[s] -= ww
+                score[s] = out_w[s] - in_w[s]
+    return np.asarray(head + tail[::-1], np.int64)
+
+
+def _keep_if_connected(graph: ViewGraph, keep: np.ndarray
+                       ) -> Tuple[ViewGraph, np.ndarray]:
+    """Apply a keep mask unless it would strand a view or split the graph
+    (a filtering that disconnects is worse than outlier directions — IRLS
+    still downweights them)."""
+    edges = np.asarray(graph.edges)
+    E = len(edges)
+    if keep.all():
+        return graph, np.ones(E, bool)
+    if not keep.any():
+        return graph, np.ones(E, bool)
+    V = int(edges.max()) + 1
+    sub_edges = edges[keep]
+    touched = np.zeros(V, bool)
+    touched[edges.reshape(-1)] = True
+    covered = np.zeros(V, bool)
+    covered[sub_edges.reshape(-1)] = True
+    if (touched & ~covered).any():
+        return graph, np.ones(E, bool)
+    from multiview_tpu import native
+    roots = native.union_find_roots(V, sub_edges.astype(np.int64))
+    if len(np.unique(roots[touched])) > 1:
+        return graph, np.ones(E, bool)
+    keep_idx = np.nonzero(keep)[0]
+    return ViewGraph(graph.edges[keep_idx], graph.rel_rot[keep_idx],
+                     graph.rel_dir[keep_idx], graph.weight[keep_idx]), keep
+
+
+def filter_directions_triplet(graph: ViewGraph, resid_tol: float = 0.05,
+                              bad_frac: float = 0.5, min_tri: int = 2
+                              ) -> Tuple[ViewGraph, np.ndarray]:
+    """Triplet-closure filtering of world-frame translation directions.
+
+    Every triangle (a,b,c) of edges must admit POSITIVE scales x with
+    x1 d_ab + x2 d_bc - x3 d_ac ~= 0 (the centers close the loop). The
+    smallest-singular-vector solve of the 3x3 direction matrix gives the
+    best closure: a triangle is inconsistent when its residual (smallest
+    singular value) exceeds ``resid_tol`` or any scale is non-positive —
+    reversed/random outlier directions fail the positivity test with very
+    high margin. Edges whose inconsistent-triangle fraction exceeds
+    ``bad_frac`` (given >= ``min_tri`` triangles) are rejected.
+
+    The sharper half of the reference recipe's relative-translation
+    filtering (`theia_flags.txt:93`); ``filter_directions_1dsfm`` covers
+    triangle-poor graphs. Returns (filtered graph, keep mask [E])."""
+    import collections
+
+    edges = np.asarray(graph.edges)
+    d = np.asarray(graph.rel_dir)
+    E = len(edges)
+    if E == 0:
+        return graph, np.ones(0, bool)
+    emap = {}
+    for e, (i, j) in enumerate(edges):
+        emap[(int(i), int(j))] = e
+    nbrs = collections.defaultdict(set)
+    for i, j in edges:
+        nbrs[int(i)].add(int(j))
+        nbrs[int(j)].add(int(i))
+
+    def get(i, j):
+        if (i, j) in emap:
+            return emap[(i, j)], 1.0
+        return emap[(j, i)], -1.0
+
+    tri_edges = []
+    tri_mats = []
+    seen = set()
+    for (i, j) in emap:
+        for k in (nbrs[i] & nbrs[j]):
+            tri = tuple(sorted((i, j, k)))
+            if tri in seen:
+                continue
+            seen.add(tri)
+            a, b, c = tri
+            e1, s1 = get(a, b)
+            e2, s2 = get(b, c)
+            e3, s3 = get(a, c)
+            tri_edges.append((e1, e2, e3))
+            tri_mats.append(np.stack([s1 * d[e1], s2 * d[e2], -s3 * d[e3]],
+                                     axis=1))
+    if not tri_mats:
+        return graph, np.ones(E, bool)
+    M = np.stack(tri_mats)                       # [T,3,3]
+    _, S, Vt = np.linalg.svd(M)                  # batched
+    x = Vt[:, -1, :]                             # [T,3] null-ish vector
+    x = np.where(x[:, 2:3] < 0, -x, x)
+    ok = (S[:, -1] < resid_tol) & (x > 1e-6).all(axis=1)
+    # near-collinear triangles are closure-degenerate (rank<2 direction
+    # matrix: any sign pattern closes with positive scales) — they carry
+    # no information either way, so they vote in neither bad nor tot
+    informative = S[:, 1] > 0.1
+    te = np.asarray(tri_edges)                   # [T,3]
+    bad = np.zeros(E)
+    tot = np.zeros(E)
+    np.add.at(bad, te[informative].reshape(-1),
+              np.repeat(~ok[informative], 3).astype(float))
+    np.add.at(tot, te[informative].reshape(-1), 1.0)
+    frac = bad / np.maximum(tot, 1e-12)
+    keep = (tot < min_tri) | (frac <= bad_frac)
+    return _keep_if_connected(graph, keep)
+
+
+def filter_directions_1dsfm(graph: ViewGraph, num_axes: int = 48,
+                            threshold: float = 0.25, min_proj: float = 0.15,
+                            seed: int = 0
+                            ) -> Tuple[ViewGraph, np.ndarray]:
+    """1DSfM relative-translation outlier filtering (Wilson & Snavely,
+    ECCV'14) — the role of Theia's
+    ``--filter_relative_translations_with_1dsfm=true`` in the pinned recipe
+    (`/root/reference/rig_calibrator/theia_flags.txt:93`).
+
+    World-frame pairwise directions are projected onto ``num_axes`` random
+    unit axes; each projection induces a weighted ordering problem (edge
+    i->j if d_e.u > 0, weight |d_e.u|) solved by the greedy
+    minimum-feedback-arc heuristic; edges that land backward in the
+    consensus ordering accumulate inconsistency weight. An edge whose
+    weighted backward fraction exceeds ``threshold`` is rejected.
+
+    Call AFTER rotation averaging + ``rel_dir_to_world`` (directions must
+    be in a common frame). Returns (filtered graph, keep mask [E])."""
+    edges = np.asarray(graph.edges)
+    d = np.asarray(graph.rel_dir)
+    E = len(edges)
+    if E == 0:
+        return graph, np.ones(0, bool)
+    V = int(edges.max()) + 1
+    rng = np.random.default_rng(seed)
+    bad_acc = np.zeros(E)
+    tot_acc = np.zeros(E)
+    for _ in range(num_axes):
+        u = rng.standard_normal(3)
+        u /= np.linalg.norm(u)
+        p = d @ u
+        active = np.abs(p) > min_proj
+        if int(active.sum()) < 2:
+            continue
+        src = np.where(p > 0, edges[:, 0], edges[:, 1])[active]
+        dst = np.where(p > 0, edges[:, 1], edges[:, 0])[active]
+        w = np.abs(p)[active]
+        order = _eades_order(src, dst, w, V)
+        pos = np.empty(V, np.int64)
+        pos[order] = np.arange(V)
+        back = (pos[dst] < pos[src]).astype(float)
+        idx = np.nonzero(active)[0]
+        bad_acc[idx] += w * back
+        tot_acc[idx] += w
+    frac = bad_acc / np.maximum(tot_acc, 1e-12)
+    keep = frac <= threshold
+    return _keep_if_connected(graph, keep)
+
+
 def position_estimation(graph: ViewGraph, rotations: jnp.ndarray, num_views: int,
                         irls_rounds: int = 8, loss_scale: float = 0.05
                         ) -> jnp.ndarray:
@@ -564,6 +762,12 @@ def run_global_sfm(pair_data, num_views: int, dtype=jnp.float64,
     full_edges = np.asarray(graph.edges)
     q, graph = robust_rotation_averaging(graph, num_views)
     graph = rel_dir_to_world(graph, q)
+    # relative-translation outlier rejection before position estimation
+    # (theia_flags.txt:93): triplet closure (sharp where triangles exist)
+    # then 1DSfM projection consensus (covers triangle-poor graphs); keeps
+    # IRLS from anchoring on corrupted direction edges
+    graph, _ = filter_directions_triplet(graph)
+    graph, _ = filter_directions_1dsfm(graph, seed=0)
     if ranges is not None:
         if graph.edges.shape[0] < len(full_edges):
             kept = {tuple(e) for e in np.asarray(graph.edges)}

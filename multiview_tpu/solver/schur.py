@@ -360,7 +360,9 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
                       lower: Optional[jnp.ndarray] = None,
                       upper: Optional[jnp.ndarray] = None,
                       linear_solver: str = "auto",
-                      preconditioner: str = "auto"):
+                      preconditioner: str = "auto",
+                      debug_unroll_lm: int = 0,
+                      debug_force_cg: Optional[int] = None):
     """Build a jitted Schur-LM solve function:
     (cam_vec0, points0, observations=None) -> result.
 
@@ -374,6 +376,16 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
     exist, their sensors and shapes), but its index arrays, masks, and
     measurements are all runtime values: one compiled solver serves outlier
     passes, re-bracketing, and incremental-SfM growth without recompiles.
+
+    ``debug_unroll_lm`` / ``debug_force_cg`` are roofline instrumentation
+    (scripts/bench_scaling.py --steady): XLA's HLO cost analysis counts each
+    while-loop BODY once regardless of trip count, so the bytes/flops of a
+    steady-state iteration cannot be read off the production executable.
+    With debug_unroll_lm=k the outer LM loop runs as k Python-unrolled
+    iterations (no early exit), and debug_force_cg=m replaces the CG loop
+    with exactly m unrolled steps — cost analysis then counts every step,
+    and differencing k=2 vs k=1 isolates one full steady-state iteration
+    by construction. Not for production use (compile cost scales with k*m).
     """
     layout = cam_layout(template)
     num_points = template.points.shape[0]
@@ -1149,8 +1161,14 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
                     x, rr, p, rz, k = carry
                     return (k < cg_iterations) & (jnp.sum(rr * rr) > cg_tolerance ** 2 * norm0)
 
-                x, rr, p, rz, k = jax.lax.while_loop(
-                    cg_cond, cg_body, (x, rr, p, rz, jnp.asarray(0)))
+                if debug_force_cg is not None:
+                    carry = (x, rr, p, rz, jnp.asarray(0))
+                    for _ in range(debug_force_cg):
+                        carry = cg_body(carry)
+                    x, rr, p, rz, k = carry
+                else:
+                    x, rr, p, rz, k = jax.lax.while_loop(
+                        cg_cond, cg_body, (x, rr, p, rz, jnp.asarray(0)))
                 return x, k
 
             if use_dense_schur:
@@ -1217,7 +1235,12 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
         init = S(cam0, points0, c0, jnp.asarray(lam0, dtype), jnp.asarray(2.0, dtype),
                  jnp.asarray(0), jnp.asarray(0), jnp.asarray(False),
                  jb0, jp0, r0)
-        out = jax.lax.while_loop(cond, body, init)
+        if debug_unroll_lm > 0:
+            out = init
+            for _ in range(debug_unroll_lm):
+                out = body(out)
+        else:
+            out = jax.lax.while_loop(cond, body, init)
         return SchurLMResult(out.cam, out.points, out.cost, c0, out.it, out.lam,
                              out.cg_total)
 

@@ -69,17 +69,18 @@ def bench_mode(scene, state0, cam_mask, mode, iters=10):
         linear_solver=mode))
     cam0 = prob.pack_state(state0, include_points=False)
     res = solver(cam0, state0.points)
-    jax.block_until_ready(res.cost)
+    float(res.cost)  # real sync: device->host transfer (axon block_until_ready can return early)
     compile_s = time.perf_counter() - t0
 
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
         res = solver(cam0, state0.points)
-        jax.block_until_ready(res.cost)
+        float(res.cost)  # real sync: device->host transfer (axon block_until_ready can return early)
         times.append(time.perf_counter() - t0)
     n_it = int(res.iterations)
-    return n_it / min(times), compile_s, n_it, float(res.cost)
+    return (n_it / min(times), compile_s, n_it, float(res.cost),
+            int(res.cg_iters_total))
 
 
 def roofline(scene, state0, cam_mask, mode):
@@ -110,12 +111,12 @@ def roofline(scene, state0, cam_mask, mode):
     bytes_acc = float(ca.get("bytes accessed", 0.0))
 
     res = compiled(cam0, state0.points)
-    jax.block_until_ready(res.cost)
+    float(res.cost)  # real sync: device->host transfer (axon block_until_ready can return early)
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
         res = compiled(cam0, state0.points)
-        jax.block_until_ready(res.cost)
+        float(res.cost)  # real sync: device->host transfer (axon block_until_ready can return early)
         times.append(time.perf_counter() - t0)
     dt = min(times)
     return {
@@ -127,6 +128,64 @@ def roofline(scene, state0, cam_mask, mode):
     }
 
 
+def steady_roofline(scene, state0, cam_mask, mode, cg_k):
+    """TRUE steady-state bytes & time per LM iteration, by construction
+    (VERDICT r3 #3): HLO cost analysis counts a while body once regardless
+    of trip count, so the production executable cannot be read off. Instead
+    lower two fully-UNROLLED executables (1 and 2 LM iterations, each with
+    exactly ``cg_k`` unrolled CG steps — the measured production average)
+    and difference both their cost analyses and their wall times: the
+    marginal iteration is one steady-state LM iteration including its CG
+    steps, with all one-time work (row sort, initial blocks, initial cost)
+    cancelled. achieved GB/s <= peak by construction."""
+    import jax
+    from multiview_tpu.calib import problem as prob
+    from multiview_tpu.solver import schur
+
+    cam0 = prob.pack_state(state0, include_points=False)
+    meas = {}
+    for k in (1, 2):
+        fn = schur.make_schur_solver(
+            state0, scene.observations, scene.models,
+            prob.BAOptions(no_rig=True), cam_mask,
+            max_iterations=k, cg_iterations=cg_k, cg_tolerance=0.1,
+            linear_solver=mode, debug_unroll_lm=k, debug_force_cg=cg_k)
+        t0 = time.perf_counter()
+        compiled = jax.jit(fn).lower(cam0, state0.points).compile()
+        compile_s = time.perf_counter() - t0
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        res = compiled(cam0, state0.points)
+        float(res.cost)  # real sync: device->host transfer (axon block_until_ready can return early)
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            res = compiled(cam0, state0.points)
+            float(res.cost)  # real sync: device->host transfer (axon block_until_ready can return early)
+            times.append(time.perf_counter() - t0)
+        meas[k] = dict(flops=float(ca.get("flops", 0.0)),
+                       bytes=float(ca.get("bytes accessed", 0.0)),
+                       t=min(times), compile_s=compile_s)
+
+    d_bytes = meas[2]["bytes"] - meas[1]["bytes"]
+    d_flops = meas[2]["flops"] - meas[1]["flops"]
+    d_t = meas[2]["t"] - meas[1]["t"]
+    return {
+        "cg_steps_per_iter": cg_k,
+        "steady_iter_ms": round(d_t * 1e3, 2),
+        "steady_gbytes_per_iter": round(d_bytes / 1e9, 3),
+        "steady_gflops_per_iter": round(d_flops / 1e9, 2),
+        "steady_achieved_gb_s": round(d_bytes / max(d_t, 1e-9) / 1e9, 1),
+        "steady_achieved_gflops_s": round(d_flops / max(d_t, 1e-9) / 1e9, 1),
+        "onetime_gbytes": round((2 * meas[1]["bytes"] - meas[2]["bytes"]) / 1e9,
+                                3),
+        "unroll_wall_ms": {k: round(m["t"] * 1e3, 2) for k, m in meas.items()},
+        "unroll_compile_s": {k: round(m["compile_s"], 1)
+                             for k, m in meas.items()},
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="38k,115k,384k,1.57M")
@@ -134,6 +193,8 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--roofline", action="store_true",
                     help="also run XLA cost-analysis roofline per size")
+    ap.add_argument("--steady", action="store_true",
+                    help="unrolled-executable steady-state roofline per size")
     args = ap.parse_args()
 
     import jax
@@ -152,13 +213,28 @@ def main():
         row = {"size": name, "n_obs": int(n_obs),
                "cam_params": int(cam_mask.shape[0]),
                "n_points": int(state0.points.shape[0])}
+        cg_avg = {}
         for mode in args.modes.split(","):
-            r, comp, n_it, cost = bench_mode(scene, state0, cam_mask, mode,
-                                             args.iters)
+            r, comp, n_it, cost, cg_tot = bench_mode(scene, state0, cam_mask,
+                                                     mode, args.iters)
+            cg_avg[mode] = max(1, round(cg_tot / max(n_it, 1)))
             row[mode] = {"iters_per_sec": round(r, 2),
-                         "compile_s": round(comp, 1)}
+                         "compile_s": round(comp, 1),
+                         "cg_per_iter_measured": round(cg_tot / max(n_it, 1), 2)}
             print(f"[{name}] {mode}: {r:.2f} it/s (compile {comp:.1f} s, "
-                  f"{n_it} iters, cost {cost:.4g})", file=sys.stderr)
+                  f"{n_it} iters, {cg_tot} cg, cost {cost:.4g})",
+                  file=sys.stderr)
+        if args.steady:
+            for mode in args.modes.split(","):
+                st = steady_roofline(scene, state0, cam_mask, mode,
+                                     cg_avg[mode])
+                if peak:
+                    st["pct_flops_peak"] = round(
+                        100 * st["steady_achieved_gflops_s"] / (peak[0] * 1e3), 2)
+                    st["pct_hbm_peak"] = round(
+                        100 * st["steady_achieved_gb_s"] / peak[1], 1)
+                row[f"steady_{mode}"] = st
+                print(f"[{name}] steady {mode}: {st}", file=sys.stderr)
         if args.roofline:
             for mode in args.modes.split(","):
                 rl = roofline(scene, state0, cam_mask, mode)
