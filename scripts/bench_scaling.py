@@ -186,6 +186,80 @@ def steady_roofline(scene, state0, cam_mask, mode, cg_k):
     }
 
 
+def bench_copy_bandwidth(gb: float = 1.0):
+    """Measured achievable HBM bandwidth: a jitted triad out = a + b on
+    ~gb-sized f32 arrays (3 streams: read a, read b, write out). This is
+    the practical ceiling the solver competes against — nominal chip peak
+    is not achievable by real kernels."""
+    import jax
+    import jax.numpy as jnp
+
+    n = int(gb * 1e9 / 4 / 2)           # two operand arrays
+    n = (n // 1024) * 1024
+    a = jnp.ones((n,), jnp.float32)
+    b = jnp.ones((n,), jnp.float32)
+    f = jax.jit(lambda a, b: a + b)
+    out = f(a, b)
+    float(out[0])
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out = f(a, b)
+        float(out[0])
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    return 3.0 * n * 4 / dt / 1e9
+
+
+def analytic_iter_bytes(scene, state0, cg_k: int):
+    """Design-level HBM byte inventory of ONE steady-state cg_blocks LM
+    iteration — the irreducible streams the implementation is built to
+    touch, counted once each (fusion-internal traffic excluded). This is a
+    LOWER bound on real traffic; XLA cost analysis is an UPPER bound
+    (counts every op's logical operands — measured above chip peak at
+    384k, i.e. provably overcounting on-chip reuse).
+
+    Streams per iteration (solver/schur.py, use_blocks path):
+    - family_blocks at the trial point: obs inputs (pix 2 + 5 index/mask
+      cols) read once; j_cam [N,k,B], j_pt [N,k,3], residual [N*k]
+      written once, read back by Hpp/diag assembly.
+    - Hpp packed accumulation + cam_diag: j_pt, j_cam read once each.
+    - SCHUR_JACOBI preconditioner blocks: j_cam, j_pt, hinv9 gather.
+    - rhs: one Jmv point-side (j_pt) + one JTmv_c (j_cam + both one-hots).
+    - CG x cg_k: camera blocks streamed twice, point blocks twice, one-hot
+      selectors three times (Jmv x2 + JTmv_c) per matvec.
+    - backsubstitution: one Jmv (j_cam + one-hots) + one JTmv_p (j_pt).
+    """
+    import numpy as np
+
+    obs = scene.observations.pixels[0]
+    N = sum(len(o) for o in scene.observations.pixels)
+    R = state0.world_to_ref.shape[0]
+    B = 14 + 7 + 1 + 1 + 2 + int(state0.dist[0].size)   # row block cols
+    k = 2
+    f32, bf16 = 4, 2
+    j_cam = N * k * B * f32
+    j_pt = N * k * 3 * f32
+    oh = 2 * N * R * bf16          # beg + end selectors
+    resid = N * k * f32
+    obs_in = N * 7 * f32
+
+    fam_blocks = obs_in + (j_cam + j_pt + resid)        # write
+    hpp = j_cam + j_pt                                   # read back
+    precond = j_cam + j_pt
+    rhs = j_pt + (j_cam + oh)
+    cg = cg_k * (2 * j_cam + 2 * j_pt + 3 * oh)
+    backsub = (j_cam + oh) + j_pt
+    total = fam_blocks + hpp + precond + rhs + cg + backsub
+    return {
+        "N": int(N), "R": int(R), "B": int(B),
+        "gb_j_cam": round(j_cam / 1e9, 3),
+        "gb_onehots": round(oh / 1e9, 3),
+        "gb_per_cg_step": round((2 * j_cam + 2 * j_pt + 3 * oh) / 1e9, 3),
+        "gb_total_per_iter": round(total / 1e9, 3),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="38k,115k,384k,1.57M")
@@ -231,8 +305,16 @@ def main():
                 if peak:
                     st["pct_flops_peak"] = round(
                         100 * st["steady_achieved_gflops_s"] / (peak[0] * 1e3), 2)
-                    st["pct_hbm_peak"] = round(
+                    st["pct_hbm_peak_CA_upper_bound"] = round(
                         100 * st["steady_achieved_gb_s"] / peak[1], 1)
+                if mode == "cg_blocks":
+                    inv = analytic_iter_bytes(scene, state0, cg_avg[mode])
+                    st["analytic_inventory"] = inv
+                    bw = bench_copy_bandwidth()
+                    st["measured_copy_gb_s"] = round(bw, 1)
+                    st["pct_speed_of_light"] = round(
+                        100 * inv["gb_total_per_iter"]
+                        / max(st["steady_iter_ms"] / 1e3, 1e-9) / bw, 1)
                 row[f"steady_{mode}"] = st
                 print(f"[{name}] steady {mode}: {st}", file=sys.stderr)
         if args.roofline:

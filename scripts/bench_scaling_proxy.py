@@ -62,12 +62,22 @@ def collective_bytes(hlo_text: str) -> dict:
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", default="7k", choices=["7k", "38k", "384k"],
+                    help="7k = the round-3 toy; 384k = the production regime"
+                    " (VERDICT r3 weak #6)")
+    args = ap.parse_args()
+
     from multiview_tpu.calib import problem as prob
     from multiview_tpu.parallel import sharding as sh
     from multiview_tpu.solver import schur
     from multiview_tpu.utils import synthetic as syn
 
-    scene = syn.make_cube_scene(n_images=32, n_per_face=6, pix_noise=0.3,
+    sizes = {"7k": (32, 6), "38k": (64, 10), "384k": (160, 20)}
+    n_images, n_per_face = sizes[args.size]
+    scene = syn.make_cube_scene(n_images=n_images, n_per_face=n_per_face,
+                                pix_noise=0.3,
                                 dist_coeffs=(-0.1, 0.02, 1e-4, -1e-4),
                                 dtype=jnp.float32)
     state0 = syn.perturb_state(scene.true_state)

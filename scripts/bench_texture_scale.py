@@ -21,12 +21,24 @@ import numpy as np
 
 
 def main():
+    import argparse
+    import resource
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=160,
+                    help="terrain grid side; faces = 2*n^2 (500 -> 500k "
+                    "faces, the ISS-module regime of VERDICT r3 #8)")
+    ap.add_argument("--pixel_size", type=float, default=None,
+                    help="texel size in world units (default scales with "
+                    "--n to keep texel counts bounded)")
+    args = ap.parse_args()
+
     import jax.numpy as jnp
     from multiview_tpu.texture import texturing
     from multiview_tpu.geometry.camera import CameraParams
     from multiview_tpu.utils import synthetic as syn
 
-    n = 160                                   # 2*n^2 = 51,200 faces
+    n = args.n                                # 2*n^2 faces
+    pixel_size = args.pixel_size or 0.004 * (160.0 / n)
     xs = np.linspace(-2.0, 2.0, n + 1)
     vx, vy = np.meshgrid(xs, xs, indexing="ij")
     vz = 0.15 * np.sin(2.1 * vx) * np.cos(1.7 * vy)
@@ -60,7 +72,7 @@ def main():
     t["view_selection_s"] = round(time.perf_counter() - t0, 2)
 
     t0 = time.perf_counter()
-    atlas = texturing.build_atlas(verts, faces, pixel_size=0.004,
+    atlas = texturing.build_atlas(verts, faces, pixel_size=pixel_size,
                                   max_page=1024)
     t["build_atlas_s"] = round(time.perf_counter() - t0, 2)
 
@@ -93,6 +105,8 @@ def main():
             unfilled += 1
     out = {
         "n_faces": int(len(faces)),
+        "peak_host_rss_mb": int(
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024),
         "n_views": len(views),
         "visible_frac": round(float(vis.mean()), 4),
         "num_pages": int(atlas.num_pages),
