@@ -106,18 +106,18 @@ def default_threshold(detector: str) -> float:
     return 1e-6 if detector == "surf" else 0.015
 
 
-def detect_and_describe(img, max_features: int = 1000, num_scales: int = 3,
-                        num_octaves: int = 4, sigma0: float = 1.6,
-                        contrast_threshold: float = 0.015,
-                        edge_threshold: float = 10.0,
-                        detector: str = "sift") -> Tuple[Keypoints, jnp.ndarray]:
-    """Detect keypoints and compute 128-d descriptors.
+def detect_keypoints(img, max_features: int = 1000, num_scales: int = 3,
+                     num_octaves: int = 4, sigma0: float = 1.6,
+                     contrast_threshold: float = 0.015,
+                     edge_threshold: float = 10.0,
+                     detector: str = "sift"):
+    """Detection half: pyramid + per-octave extrema + global top-K.
 
-    img: [H,W] float grayscale in [0,1]. Returns (Keypoints, descriptors
-    [max_features, 128]); invalid rows are zeroed and masked.
-    ``detector``: "sift" (DoG + gradient histograms) or "surf"
-    (determinant-of-Hessian + Haar-style sums, padded to 128).
-    """
+    Returns (bases tuple of per-octave images, xy, scale, resp, valid),
+    all sorted by detection response (invalid rows have score -inf and
+    therefore sort LAST — slicing the first k rows keeps every valid
+    keypoint whenever k >= the valid count, the property the bucketed
+    descriptor pass in pipeline.detect_all relies on)."""
     if detector not in ("sift", "surf"):
         raise ValueError(f"unknown detector {detector!r}")
     img = jnp.asarray(img, jnp.float32)
@@ -148,16 +148,49 @@ def detect_and_describe(img, max_features: int = 1000, num_scales: int = 3,
     # global top-K by response among valid
     score = jnp.where(valid, resp, -jnp.inf)
     top = jax.lax.top_k(score, max_features)[1]
-    xy, scale, resp, valid = xy[top], scale[top], resp[top], valid[top]
+    return (tuple(bases), xy[top], scale[top], resp[top], valid[top])
 
-    patches, pcx, pcy, sloc = _extract_patches(bases, xy, scale, sigma0)
+
+def describe_keypoints(bases, xy, scale, resp, valid, sigma0: float = 1.6,
+                       detector: str = "sift",
+                       pad_to: Optional[int] = None):
+    """Description half: patches + orientations + descriptors for the given
+    (possibly response-truncated) keypoint rows. With ``pad_to``, outputs
+    are zero-padded back to that many rows (padded rows invalid) so
+    downstream static shapes are unchanged by descriptor bucketing."""
+    patches, pcx, pcy, sloc = _extract_patches(list(bases), xy, scale, sigma0)
     angle = _orientations(patches, pcx, pcy, sloc)
     if detector == "surf":
         desc = _surf_descriptors(patches, pcx, pcy, sloc, angle, valid)
     else:
         desc = _descriptors(patches, pcx, pcy, sloc, angle, valid)
     kp = Keypoints(xy, scale, resp, angle, valid)
+    if pad_to is not None and pad_to > xy.shape[0]:
+        n = pad_to - xy.shape[0]
+        kp = Keypoints(
+            jnp.pad(xy, ((0, n), (0, 0))), jnp.pad(scale, (0, n)),
+            jnp.pad(resp, (0, n)), jnp.pad(angle, (0, n)),
+            jnp.pad(valid, (0, n)))
+        desc = jnp.pad(desc, ((0, n), (0, 0)))
     return kp, desc
+
+
+def detect_and_describe(img, max_features: int = 1000, num_scales: int = 3,
+                        num_octaves: int = 4, sigma0: float = 1.6,
+                        contrast_threshold: float = 0.015,
+                        edge_threshold: float = 10.0,
+                        detector: str = "sift") -> Tuple[Keypoints, jnp.ndarray]:
+    """Detect keypoints and compute 128-d descriptors.
+
+    img: [H,W] float grayscale in [0,1]. Returns (Keypoints, descriptors
+    [max_features, 128]); invalid rows are zeroed and masked.
+    ``detector``: "sift" (DoG + gradient histograms) or "surf"
+    (determinant-of-Hessian + Haar-style sums, padded to 128).
+    """
+    bases, xy, scale, resp, valid = detect_keypoints(
+        img, max_features, num_scales, num_octaves, sigma0,
+        contrast_threshold, edge_threshold, detector)
+    return describe_keypoints(bases, xy, scale, resp, valid, sigma0, detector)
 
 
 def _detect_octave_hessian(base, octave, num_scales, sigma0,

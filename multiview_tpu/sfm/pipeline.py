@@ -203,8 +203,33 @@ def detect_all(images: Sequence[np.ndarray], cfg: FrontendConfig,
             padded = sel + [sel[0]] * (csize - len(sel))
             stack = jnp.asarray(np.stack([np.asarray(images[i], np.float32)
                                           for i in padded]))
-            kp_b, d_b = detect_batched(stack)
-            counts = np.asarray(kp_b.valid.sum(axis=1))
+            if mesh is None:
+                # two-stage with descriptor BUCKETING: keypoints come back
+                # response-sorted, so the (much costlier) descriptor pass
+                # runs on the next power-of-2 >= the actual detection count
+                # instead of all max_features padded slots — measured 83%
+                # of detect_all is descriptor work at 10k slots while
+                # typical scenes yield 2-4k detections. Outputs are padded
+                # back to max_features inside the jit (bit-identical valid
+                # rows; one compiled describe executable per bucket size).
+                detect_fn = _detect_only_fn(
+                    cfg.max_features, cfg.num_scales, cfg.num_octaves,
+                    cfg.sigma0, cfg.detect_threshold, cfg.edge_threshold,
+                    cfg.feature_detector)
+                det = detect_fn(stack)
+                bases_b, xy_b, sc_b, resp_b, valid_b = det
+                counts = np.asarray(valid_b.sum(axis=1))
+                slots = 1 << max(8, int(np.ceil(np.log2(
+                    max(int(counts.max()), 1)))))
+                slots = min(slots, cfg.max_features)
+                describe_fn = _describe_only_fn(
+                    cfg.max_features, slots, cfg.sigma0, cfg.feature_detector)
+                kp_b, d_b = describe_fn(
+                    bases_b, xy_b[:, :slots], sc_b[:, :slots],
+                    resp_b[:, :slots], valid_b[:, :slots])
+            else:
+                kp_b, d_b = detect_batched(stack)
+                counts = np.asarray(kp_b.valid.sum(axis=1))
             for row, i in enumerate(sel):
                 if counts[row] >= min_features:
                     emit(i, jax.tree.map(lambda x: x[row], kp_b), d_b[row])
@@ -222,6 +247,35 @@ def detect_all(images: Sequence[np.ndarray], cfg: FrontendConfig,
     if store is not None:
         return store.kps, store.descs
     return kps, descs
+
+
+@functools.lru_cache(maxsize=None)
+def _detect_only_fn(max_features: int, num_scales: int, num_octaves: int,
+                    sigma0: float, contrast_threshold: float,
+                    edge_threshold: float, detector: str = "sift"):
+    """Jitted vmapped detection half (pyramid + extrema + top-K), cached
+    per config. Returns (bases, xy, scale, resp, valid) response-sorted."""
+    import jax
+
+    return jax.jit(jax.vmap(
+        lambda im: feat_mod.detect_keypoints(
+            im, max_features=max_features, num_scales=num_scales,
+            num_octaves=num_octaves, sigma0=sigma0,
+            contrast_threshold=contrast_threshold,
+            edge_threshold=edge_threshold, detector=detector)))
+
+
+@functools.lru_cache(maxsize=None)
+def _describe_only_fn(max_features: int, slots: int, sigma0: float,
+                      detector: str = "sift"):
+    """Jitted vmapped description half for ``slots`` keypoint rows, padded
+    back to max_features inside the jit. Cached per (config, bucket)."""
+    import jax
+
+    return jax.jit(jax.vmap(
+        lambda bases, xy, sc, resp, valid: feat_mod.describe_keypoints(
+            bases, xy, sc, resp, valid, sigma0=sigma0, detector=detector,
+            pad_to=max_features)))
 
 
 @functools.lru_cache(maxsize=None)
