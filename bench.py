@@ -36,7 +36,7 @@ def _baselines():
     denominators are stable even if the file is missing."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BASELINE_MEASURED.json")
-    out = {"38k": 30.478, "384k": 2.323}
+    out = {"38k": 30.478, "384k": 1.34}
     try:
         with open(path) as f:
             d = json.load(f)
