@@ -186,11 +186,12 @@ def steady_roofline(scene, state0, cam_mask, mode, cg_k):
     }
 
 
-def bench_copy_bandwidth(gb: float = 1.0):
-    """Measured achievable HBM bandwidth: a jitted triad out = a + b on
-    ~gb-sized f32 arrays (3 streams: read a, read b, write out). This is
-    the practical ceiling the solver competes against — nominal chip peak
-    is not achievable by real kernels."""
+def bench_copy_bandwidth(gb: float = 1.0, reps: int = 20):
+    """Measured achievable HBM bandwidth: ``reps`` carry-dependent triads
+    (out = a + b + eps) inside ONE dispatched fori_loop on ~gb-sized f32
+    arrays (3 streams each). The in-loop form is essential here: a single
+    triad walls at dispatch latency through this environment's remote
+    tunnel (~30 ms) and reads 17x below peak."""
     import jax
     import jax.numpy as jnp
 
@@ -198,7 +199,13 @@ def bench_copy_bandwidth(gb: float = 1.0):
     n = (n // 1024) * 1024
     a = jnp.ones((n,), jnp.float32)
     b = jnp.ones((n,), jnp.float32)
-    f = jax.jit(lambda a, b: a + b)
+
+    @jax.jit
+    def f(a, b):
+        def body(i, acc):
+            return a + (b + acc[0])     # carry-dependent: no CSE/hoisting
+        return jax.lax.fori_loop(0, reps, body, b)
+
     out = f(a, b)
     float(out[0])
     times = []
@@ -208,7 +215,7 @@ def bench_copy_bandwidth(gb: float = 1.0):
         float(out[0])
         times.append(time.perf_counter() - t0)
     dt = min(times)
-    return 3.0 * n * 4 / dt / 1e9
+    return 3.0 * n * 4 * reps / dt / 1e9
 
 
 def analytic_iter_bytes(scene, state0, cg_k: int):
