@@ -77,23 +77,12 @@ def spanning_tree_rotations(graph: ViewGraph, num_views: int,
     return q
 
 
-def rotation_averaging(graph: ViewGraph, num_views: int, iterations: int = 30,
-                       loss_scale: float = 0.1, init: Optional[np.ndarray] = None
-                       ) -> jnp.ndarray:
-    """Robust rotation averaging -> global quaternions [V,4] (view 0 pinned).
-
-    IRLS Gauss-Newton in so(3): residual per edge r_e = log(R_j^T R_ij R_i),
-    Jacobian wrt (w_i, w_j) approximated by (R_j^T R_ij, -I) ~ (I, -I) in the
-    well-conditioned near-convergence regime, weights soft-L1 in |r|.
-    """
-    if init is None:
-        init = spanning_tree_rotations(graph, num_views)
-    q = jnp.asarray(init)
-    edges = jnp.asarray(graph.edges)
+def _rotation_averaging_core(edges, rel, base_w, init_q, num_views: int,
+                             iterations: int, loss_scale: float):
+    """One IRLS Gauss-Newton rotation-averaging run (traced core)."""
+    q = init_q
     i_idx = edges[:, 0]
     j_idx = edges[:, 1]
-    rel = jnp.asarray(graph.rel_rot)
-    base_w = jnp.asarray(graph.weight, q.dtype)
 
     def residuals(q):
         qi = q[i_idx]
@@ -127,7 +116,44 @@ def rotation_averaging(graph: ViewGraph, num_views: int, iterations: int = 30,
         return q_new, jnp.sum(w * nrm)
 
     q, _ = jax.lax.scan(step, q, None, length=iterations)
-    return q
+    # outlier-immune fitness score: median edge residual
+    r = residuals(q)
+    score = jnp.median(jnp.linalg.norm(r, axis=-1))
+    return q, score
+
+
+import functools as _functools
+
+
+@_functools.partial(jax.jit,
+                    static_argnames=("num_views", "iterations"))
+def _rotation_averaging_multi(edges, rel, base_w, inits, num_views,
+                              iterations, loss_scale):
+    """ALL candidate spanning-tree initializations averaged in ONE
+    dispatch (vmapped over the leading init axis) — the per-tree loop paid
+    a full device round-trip per tree through this environment's dispatch
+    tunnel (measured: the 16-tree robust init dominated the sfm-init
+    global stage). Returns (qs [T,V,4], scores [T])."""
+    return jax.vmap(lambda q0: _rotation_averaging_core(
+        edges, rel, base_w, q0, num_views, iterations, loss_scale))(inits)
+
+
+def rotation_averaging(graph: ViewGraph, num_views: int, iterations: int = 30,
+                       loss_scale: float = 0.1, init: Optional[np.ndarray] = None
+                       ) -> jnp.ndarray:
+    """Robust rotation averaging -> global quaternions [V,4] (view 0 pinned).
+
+    IRLS Gauss-Newton in so(3): residual per edge r_e = log(R_j^T R_ij R_i),
+    Jacobian wrt (w_i, w_j) approximated by (R_j^T R_ij, -I) ~ (I, -I) in the
+    well-conditioned near-convergence regime, weights soft-L1 in |r|.
+    """
+    if init is None:
+        init = spanning_tree_rotations(graph, num_views)
+    qs, _ = _rotation_averaging_multi(
+        jnp.asarray(graph.edges), jnp.asarray(graph.rel_rot),
+        jnp.asarray(graph.weight, jnp.asarray(init).dtype),
+        jnp.asarray(init)[None], num_views, iterations, loss_scale)
+    return qs[0]
 
 
 def filter_graph_by_rotation(graph: ViewGraph, rotations: jnp.ndarray,
@@ -170,23 +196,30 @@ def robust_rotation_averaging(graph: ViewGraph, num_views: int,
     residual (an outlier-immune score), then drop edges inconsistent with it
     and do a final averaging round. Returns (rotations, filtered graph)."""
     rng = np.random.default_rng(seed)
-    best_q, best_score = None, np.inf
-    for k in range(num_trees):
-        init = spanning_tree_rotations(graph, num_views,
-                                       rng=None if k == 0 else rng)
-        q = rotation_averaging(graph, num_views, iterations, loss_scale, init=init)
-        score = _median_edge_residual(graph, q)
-        if score < best_score:
-            best_q, best_score = q, score
+    inits = np.stack([
+        spanning_tree_rotations(graph, num_views,
+                                rng=None if k == 0 else rng)
+        for k in range(num_trees)])
+    dtype = jnp.asarray(inits).dtype
+    # all trees in ONE vmapped dispatch (was one round-trip per tree)
+    qs, scores = _rotation_averaging_multi(
+        jnp.asarray(graph.edges), jnp.asarray(graph.rel_rot),
+        jnp.asarray(graph.weight, dtype), jnp.asarray(inits),
+        num_views, iterations, loss_scale)
+    scores = np.asarray(scores)
+    best = int(np.argmin(scores))
+    best_q, best_score = qs[best], float(scores[best])
 
     filtered = filter_graph_by_rotation(graph, best_q, filter_deg)
     if filtered.edges.shape[0] < graph.edges.shape[0]:
         try:
             init = spanning_tree_rotations(filtered, num_views)
-            q = rotation_averaging(filtered, num_views, iterations, loss_scale,
-                                   init=init)
-            if _median_edge_residual(filtered, q) <= best_score:
-                best_q = q
+            q2, score2 = _rotation_averaging_multi(
+                jnp.asarray(filtered.edges), jnp.asarray(filtered.rel_rot),
+                jnp.asarray(filtered.weight, dtype),
+                jnp.asarray(init)[None], num_views, iterations, loss_scale)
+            if float(score2[0]) <= best_score:
+                best_q = q2[0]
             return best_q, filtered
         except ValueError:
             pass  # filtering disconnected the graph; keep unfiltered solution
@@ -753,14 +786,27 @@ def run_global_sfm(pair_data, num_views: int, dtype=jnp.float64,
         poses = jnp.asarray(poses)
         return (poses, member) if return_mask else poses
 
+    import os as _os
+    import time as _time
+    _prof = bool(_os.environ.get("MV_PROFILE"))
+    _t = [_time.perf_counter()]
+
+    def _mk(name):
+        if _prof:
+            now = _time.perf_counter()
+            print(f"[global-sfm] {name}: {now - _t[0]:.2f} s")
+            _t[0] = now
+
     ranges = None
     if pair_pids is not None:
         graph, ranges = view_graph_from_matches(pair_data, num_views, dtype,
                                                 pair_pids=pair_pids)
     else:
         graph = view_graph_from_matches(pair_data, num_views, dtype)
+    _mk("view_graph")
     full_edges = np.asarray(graph.edges)
     q, graph = robust_rotation_averaging(graph, num_views)
+    _mk("rotation_averaging")
     graph = rel_dir_to_world(graph, q)
     # relative-translation outlier rejection before position estimation
     # (theia_flags.txt:93): triplet closure (sharp where triangles exist)
@@ -768,16 +814,20 @@ def run_global_sfm(pair_data, num_views: int, dtype=jnp.float64,
     # IRLS from anchoring on corrupted direction edges
     graph, _ = filter_directions_triplet(graph)
     graph, _ = filter_directions_1dsfm(graph, seed=0)
+    _mk("direction_filters")
     if ranges is not None:
         if graph.edges.shape[0] < len(full_edges):
             kept = {tuple(e) for e in np.asarray(graph.edges)}
             ranges = [r for e, r in zip(full_edges, ranges)
                       if tuple(e) in kept]
         scales = edge_scales_from_ranges(graph, ranges)
+        _mk("edge_scales")
         # mean baseline 1 (same normalization as direction-only path)
         c = position_estimation_with_scales(graph, scales / scales.mean())
+        _mk("positions")
     else:
         c = position_estimation(graph, q, num_views)
+        _mk("positions")
     t = -pose_mod.quat_rotate(q, c)
     poses = pose_mod.make_pose(t, q)
     if return_mask:
