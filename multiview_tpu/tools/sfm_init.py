@@ -104,6 +104,9 @@ def _reresect_views(poses, trackset, sensors_of, cam_params, thr,
         err = np.linalg.norm(proj - x, axis=-1)
         return int(np.sum((err <= thr) & (z > 0)))
 
+    # np.asarray of a device array is a READ-ONLY view; the replacement
+    # loop below writes into it — copy
+    poses_np = np.array(poses_np)
     n_replaced = 0
     for v in range(len(poses_np)):
         rows = np.where((cam_idx == v) & okm[pid])[0]
