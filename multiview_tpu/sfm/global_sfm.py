@@ -550,6 +550,25 @@ def _two_view_ransac_batched(x1, x2, valid):
         x1, x2, valid)
 
 
+def _ransac_device():
+    """Placement for the two-view RANSAC batches: the HOST CPU backend
+    when one is registered alongside an accelerator.
+
+    The kernels are thousands of tiny ([8,9]/[4,?]/3x3) SVDs — the one
+    op class accelerators run orders of magnitude slower than LAPACK
+    (measured: ~16 s of a 5-image sfm-init on the TPU vs <1 s on host;
+    the reference likewise solves two-view geometry on CPU,
+    interest_point.cc/essential). Committed CPU inputs make the jitted
+    batch compile and run on host; on a CPU-only session this is a
+    no-op. The main BA/mapping compute path is unaffected."""
+    try:
+        if jax.default_backend() != "cpu":
+            return jax.devices("cpu")[0]
+    except RuntimeError:
+        pass
+    return None
+
+
 def view_graph_from_matches(pair_data, num_views: int, dtype=jnp.float64,
                             pair_pids=None):
     """Build a ViewGraph from per-pair unit-plane correspondences.
@@ -580,11 +599,14 @@ def view_graph_from_matches(pair_data, num_views: int, dtype=jnp.float64,
     for it in items:
         buckets.setdefault(it[2].shape[0], []).append(it)
     results = {}
+    dev = _ransac_device()
     for group in buckets.values():
-        outs = _two_view_ransac_batched(
-            jnp.asarray(np.stack([g[2] for g in group])),
-            jnp.asarray(np.stack([g[3] for g in group])),
-            jnp.asarray(np.stack([g[4] for g in group])))
+        args = (jnp.asarray(np.stack([g[2] for g in group])),
+                jnp.asarray(np.stack([g[3] for g in group])),
+                jnp.asarray(np.stack([g[4] for g in group])))
+        if dev is not None:
+            args = tuple(jax.device_put(a, dev) for a in args)
+        outs = _two_view_ransac_batched(*args)
         outs = [np.asarray(o) for o in outs]
         for r, g in enumerate(group):
             results[g[0]] = tuple(o[r] for o in outs)
