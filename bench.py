@@ -40,11 +40,16 @@ def _baselines():
     try:
         with open(path) as f:
             d = json.load(f)
-        out["38k"] = float(d["baseline_iters_per_sec"])
-        out["384k"] = float(d.get("baseline_384k_iters_per_sec",
-                                  out["384k"]))
     except Exception:
-        pass
+        return out
+    # each key independently: one missing/malformed key must not discard
+    # the other size's valid measured denominator
+    for key, name in (("38k", "baseline_iters_per_sec"),
+                      ("384k", "baseline_384k_iters_per_sec")):
+        try:
+            out[key] = float(d[name])
+        except (KeyError, TypeError, ValueError):
+            pass
     return out
 
 

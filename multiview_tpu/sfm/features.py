@@ -62,13 +62,15 @@ def gaussian_blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
 
 @functools.lru_cache(maxsize=None)
 def _detect_jit(max_features: int, num_scales: int, num_octaves: int,
-                sigma0: float, edge_threshold: float, detector: str):
+                sigma0: float, edge_threshold: float, detector: str,
+                min_features: Optional[int], max_retries: int):
     """Compiled single-image detector; the contrast threshold stays a traced
-    argument so the adaptive retry loop reuses one executable."""
+    argument so one executable serves every threshold."""
     return jax.jit(lambda im, ct: detect_and_describe(
         im, max_features=max_features, num_scales=num_scales,
         num_octaves=num_octaves, sigma0=sigma0, contrast_threshold=ct,
-        edge_threshold=edge_threshold, detector=detector))
+        edge_threshold=edge_threshold, detector=detector,
+        min_features=min_features, max_retries=max_retries))
 
 
 def detect_and_describe_dynamic(img, max_features: int = 1000,
@@ -78,26 +80,45 @@ def detect_and_describe_dynamic(img, max_features: int = 1000,
                                 num_octaves: int = 4, sigma0: float = 1.6,
                                 edge_threshold: float = 10.0,
                                 detector: str = "sift"):
-    """Adaptive-threshold detection: lower the detection threshold until at
-    least ``min_features`` keypoints are found (or retries run out) — the
+    """Adaptive-threshold detection: effectively lowers the detection
+    threshold until at least ``min_features`` keypoints are found — the
     reference's DynamicDetector retry loop that tunes the SURF Hessian
     threshold into a target range
-    (`/root/reference/rig_calibrator/src/matching.cc:48-183`). For
-    ``detector="surf"`` the traced threshold IS the Hessian threshold;
+    (`/root/reference/rig_calibrator/src/matching.cc:48-183`).
+
+    ONE dispatch, no retries: detection runs at the schedule's floor
+    threshold and the in-graph threshold selection (``_adaptive_valid``)
+    returns exactly the keypoints the sequential 0.25x-retry loop would —
+    the candidate set at a lower threshold is a superset with identical
+    responses, so every retry's outcome is a response cut of the floor
+    detection. (The serialized per-image retry loop was the dominant cost
+    of the r4 front-end: ~2x detection + per-image dispatches, 123.5
+    ms/image for a 15 ms pipeline.)
+
+    For ``detector="surf"`` the traced threshold IS the Hessian threshold;
     ``contrast_threshold=None`` starts from the detector-family default."""
     if min_features is None:
         min_features = max(8, max_features // 10)
     fn = _detect_jit(max_features, num_scales, num_octaves, sigma0,
-                     edge_threshold, detector)
+                     edge_threshold, detector, min_features, max_retries)
     img = jnp.asarray(img, jnp.float32)
     th = (contrast_threshold if contrast_threshold is not None
           else default_threshold(detector))
-    for _ in range(max_retries):
-        kp, desc = fn(img, th)
-        if int(kp.valid.sum()) >= min_features:
-            return kp, desc
-        th *= 0.25
-    return kp, desc
+    return fn(img, th)
+
+
+def _adaptive_valid(resp, valid, th0, min_features: int, max_retries: int):
+    """In-graph replica of the DynamicDetector retry schedule: given
+    responses detected at the floor threshold ``th0 * 0.25**(max_retries-1)``,
+    keep the keypoints above the FIRST threshold of the geometric schedule
+    [th0, th0*0.25, ...] with >= min_features survivors (or the floor when
+    none reaches it) — bitwise the sequential retry loop's surviving set."""
+    ks = jnp.arange(max_retries, dtype=resp.dtype)
+    ths = th0 * 0.25 ** ks                                    # descending
+    counts = jnp.sum((resp[None, :] > ths[:, None]) & valid[None, :], axis=1)
+    ok = counts >= min_features
+    idx = jnp.where(jnp.any(ok), jnp.argmax(ok), max_retries - 1)
+    return valid & (resp > ths[idx])
 
 
 def default_threshold(detector: str) -> float:
@@ -110,18 +131,28 @@ def detect_keypoints(img, max_features: int = 1000, num_scales: int = 3,
                      num_octaves: int = 4, sigma0: float = 1.6,
                      contrast_threshold: float = 0.015,
                      edge_threshold: float = 10.0,
-                     detector: str = "sift"):
+                     detector: str = "sift",
+                     min_features: Optional[int] = None,
+                     max_retries: int = 5):
     """Detection half: pyramid + per-octave extrema + global top-K.
+
+    With ``min_features``, detection runs at the adaptive schedule's floor
+    threshold and ``_adaptive_valid`` selects the effective threshold
+    in-graph (the single-dispatch DynamicDetector — see
+    detect_and_describe_dynamic).
 
     Returns (bases tuple of per-octave images, xy, scale, resp, valid),
     all sorted by detection response (invalid rows have score -inf and
     therefore sort LAST — slicing the first k rows keeps every valid
     keypoint whenever k >= the valid count, the property the bucketed
-    descriptor pass in pipeline.detect_all relies on)."""
+    descriptor pass in pipeline.detect_all relies on; the adaptive valid
+    cut keeps that prefix property, resp being the sort key)."""
     if detector not in ("sift", "surf"):
         raise ValueError(f"unknown detector {detector!r}")
     img = jnp.asarray(img, jnp.float32)
 
+    floor = (contrast_threshold if min_features is None
+             else contrast_threshold * 0.25 ** (max_retries - 1))
     all_kp = []
     bases = []
     base = img
@@ -129,10 +160,10 @@ def detect_keypoints(img, max_features: int = 1000, num_scales: int = 3,
         bases.append(base)
         if detector == "surf":
             kps = _detect_octave_hessian(base, octave, num_scales, sigma0,
-                                         contrast_threshold, max_features)
+                                         floor, max_features)
         else:
             kps = _detect_octave(base, octave, num_scales, sigma0,
-                                 contrast_threshold, edge_threshold,
+                                 floor, edge_threshold,
                                  max_features)
         all_kp.append(kps)
         H, W = base.shape
@@ -148,7 +179,11 @@ def detect_keypoints(img, max_features: int = 1000, num_scales: int = 3,
     # global top-K by response among valid
     score = jnp.where(valid, resp, -jnp.inf)
     top = jax.lax.top_k(score, max_features)[1]
-    return (tuple(bases), xy[top], scale[top], resp[top], valid[top])
+    xy, scale, resp, valid = xy[top], scale[top], resp[top], valid[top]
+    if min_features is not None:
+        valid = _adaptive_valid(resp, valid, contrast_threshold,
+                                min_features, max_retries)
+    return (tuple(bases), xy, scale, resp, valid)
 
 
 def describe_keypoints(bases, xy, scale, resp, valid, sigma0: float = 1.6,
@@ -179,17 +214,21 @@ def detect_and_describe(img, max_features: int = 1000, num_scales: int = 3,
                         num_octaves: int = 4, sigma0: float = 1.6,
                         contrast_threshold: float = 0.015,
                         edge_threshold: float = 10.0,
-                        detector: str = "sift") -> Tuple[Keypoints, jnp.ndarray]:
+                        detector: str = "sift",
+                        min_features: Optional[int] = None,
+                        max_retries: int = 5) -> Tuple[Keypoints, jnp.ndarray]:
     """Detect keypoints and compute 128-d descriptors.
 
     img: [H,W] float grayscale in [0,1]. Returns (Keypoints, descriptors
     [max_features, 128]); invalid rows are zeroed and masked.
     ``detector``: "sift" (DoG + gradient histograms) or "surf"
     (determinant-of-Hessian + Haar-style sums, padded to 128).
+    ``min_features``: in-graph adaptive thresholding (see detect_keypoints).
     """
     bases, xy, scale, resp, valid = detect_keypoints(
         img, max_features, num_scales, num_octaves, sigma0,
-        contrast_threshold, edge_threshold, detector)
+        contrast_threshold, edge_threshold, detector,
+        min_features=min_features, max_retries=max_retries)
     return describe_keypoints(bases, xy, scale, resp, valid, sigma0, detector)
 
 

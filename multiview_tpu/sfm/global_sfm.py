@@ -247,8 +247,6 @@ def _eades_order(src: np.ndarray, dst: np.ndarray, w: np.ndarray,
     tail: list = []
     score = out_w - in_w
     for _ in range(V):
-        live_out = np.where(alive, out_w, np.inf)
-        live_in = np.where(alive, in_w, np.inf)
         sinks = np.nonzero(alive & (out_w <= 1e-12))[0]
         if sinks.size:
             v = int(sinks[0])
@@ -601,11 +599,15 @@ def view_graph_from_matches(pair_data, num_views: int, dtype=jnp.float64,
     results = {}
     dev = _ransac_device()
     for group in buckets.values():
-        args = (jnp.asarray(np.stack([g[2] for g in group])),
-                jnp.asarray(np.stack([g[3] for g in group])),
-                jnp.asarray(np.stack([g[4] for g in group])))
+        stacks = (np.stack([g[2] for g in group]),
+                  np.stack([g[3] for g in group]),
+                  np.stack([g[4] for g in group]))
         if dev is not None:
-            args = tuple(jax.device_put(a, dev) for a in args)
+            # host numpy -> host CPU device directly: no accelerator
+            # round-trip on the path host placement is meant to speed up
+            args = tuple(jax.device_put(a, dev) for a in stacks)
+        else:
+            args = tuple(jnp.asarray(a) for a in stacks)
         outs = _two_view_ransac_batched(*args)
         outs = [np.asarray(o) for o in outs]
         for r, g in enumerate(group):

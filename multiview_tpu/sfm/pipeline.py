@@ -175,7 +175,7 @@ def detect_all(images: Sequence[np.ndarray], cfg: FrontendConfig,
     detect_batched = _detect_batched_fn(
         cfg.max_features, cfg.num_scales, cfg.num_octaves, cfg.sigma0,
         cfg.detect_threshold, cfg.edge_threshold, cfg.feature_detector,
-        mesh=mesh)
+        min_features, mesh=mesh)
     if mesh is not None:
         n_dev = int(mesh.devices.size)
         chunk = max(chunk, n_dev)
@@ -196,11 +196,39 @@ def detect_all(images: Sequence[np.ndarray], cfg: FrontendConfig,
                 emit(i, *detect_dynamic(i))
             continue
         csize = chunk if mesh is not None else min(chunk, len(ids))
+        use_fused = mesh is None and jax.default_backend() != "cpu"
         for c0 in range(0, len(ids), csize):
             sel = ids[c0:c0 + csize]
             # pad the last chunk by repeating its first image: one compiled
             # batch shape per (image shape, chunk) instead of per remainder
             padded = sel + [sel[0]] * (csize - len(sel))
+            if use_fused:
+                # ship uint8 images at native byte width (normalized on
+                # device); one fused dispatch does detect + bucketed
+                # describe + per-image unstacking (no host round-trips)
+                first = np.asarray(images[padded[0]])
+                dt = np.uint8 if first.dtype == np.uint8 else np.float32
+                stack = jnp.asarray(np.stack([np.asarray(images[i], dt)
+                                              for i in padded]))
+                fused = _detect_describe_fused_fn(
+                    cfg.max_features, cfg.num_scales, cfg.num_octaves,
+                    cfg.sigma0, cfg.detect_threshold, cfg.edge_threshold,
+                    cfg.feature_detector, min_features, csize)
+                outs, counts_d = fused(stack)
+                counts = np.asarray(counts_d)
+                for row, i in enumerate(sel):
+                    if counts[row] >= min_features:
+                        emit(i, *outs[row])
+                    else:
+                        emit(i, *feat_mod.detect_and_describe_dynamic(
+                            jnp.asarray(np.asarray(images[i], np.float32)),
+                            max_features=cfg.max_features,
+                            num_scales=cfg.num_scales,
+                            num_octaves=cfg.num_octaves, sigma0=cfg.sigma0,
+                            contrast_threshold=cfg.detect_threshold * 0.25 ** 4,
+                            edge_threshold=cfg.edge_threshold,
+                            detector=cfg.feature_detector))
+                continue
             stack = jnp.asarray(np.stack([np.asarray(images[i], np.float32)
                                           for i in padded]))
             if mesh is None:
@@ -212,10 +240,14 @@ def detect_all(images: Sequence[np.ndarray], cfg: FrontendConfig,
                 # typical scenes yield 2-4k detections. Outputs are padded
                 # back to max_features inside the jit (bit-identical valid
                 # rows; one compiled describe executable per bucket size).
+                # min_features rides INSIDE the jit (_adaptive_valid): the
+                # detection threshold adapts per image in the same dispatch
+                # (the r4 straggler path re-detected every under-threshold
+                # image through a serialized per-image retry loop).
                 detect_fn = _detect_only_fn(
                     cfg.max_features, cfg.num_scales, cfg.num_octaves,
                     cfg.sigma0, cfg.detect_threshold, cfg.edge_threshold,
-                    cfg.feature_detector)
+                    cfg.feature_detector, min_features)
                 det = detect_fn(stack)
                 bases_b, xy_b, sc_b, resp_b, valid_b = det
                 counts = np.asarray(valid_b.sum(axis=1))
@@ -234,14 +266,14 @@ def detect_all(images: Sequence[np.ndarray], cfg: FrontendConfig,
                 if counts[row] >= min_features:
                     emit(i, jax.tree.map(lambda x: x[row], kp_b), d_b[row])
                 else:
-                    # straggler: adaptive retry, starting one step below the
-                    # threshold the batched pass already proved insufficient
+                    # straggler: even the adaptive floor found too few —
+                    # go another schedule deeper (floor**2 territory)
                     emit(i, *feat_mod.detect_and_describe_dynamic(
                         jnp.asarray(images[i], jnp.float32),
                         max_features=cfg.max_features,
                         num_scales=cfg.num_scales,
                         num_octaves=cfg.num_octaves, sigma0=cfg.sigma0,
-                        contrast_threshold=cfg.detect_threshold * 0.25,
+                        contrast_threshold=cfg.detect_threshold * 0.25 ** 4,
                         edge_threshold=cfg.edge_threshold,
                         detector=cfg.feature_detector))
     if store is not None:
@@ -249,12 +281,84 @@ def detect_all(images: Sequence[np.ndarray], cfg: FrontendConfig,
     return kps, descs
 
 
+def _describe_buckets(max_features: int):
+    """Power-of-2 descriptor bucket ladder, 256 floor, max_features cap."""
+    buckets = []
+    s = 256
+    while s < max_features:
+        buckets.append(s)
+        s *= 2
+    buckets.append(max_features)
+    return tuple(buckets)
+
+
+@functools.lru_cache(maxsize=None)
+def _detect_describe_fused_fn(max_features: int, num_scales: int,
+                              num_octaves: int, sigma0: float,
+                              contrast_threshold: float,
+                              edge_threshold: float, detector: str,
+                              min_features: Optional[int], batch: int):
+    """ONE compiled dispatch for a whole detection chunk: vmapped pyramid +
+    extrema + in-graph adaptive threshold, descriptor bucketing via
+    ``lax.switch`` over the power-of-2 bucket ladder (the bucket index is
+    computed from the detection counts IN-GRAPH — no host round-trip
+    between the detect and describe halves), and per-image outputs
+    unstacked inside the jit (the per-row host slicing of the two-stage
+    path cost 48 tunnel dispatches = 165 ms per 8-image chunk).
+
+    uint8 input is normalized to [0,1] ON DEVICE — images ship through the
+    host->device tunnel at native byte width (measured 41 MB/s: a f32
+    upload of 8 images was 238 ms, uint8 is 4x less).
+
+    Bit-identical to the two-stage path: each switch branch IS
+    describe_keypoints at that bucket, padded back to max_features."""
+    import jax
+
+    buckets = _describe_buckets(max_features)
+
+    def detect_one(im):
+        return feat_mod.detect_keypoints(
+            im, max_features=max_features, num_scales=num_scales,
+            num_octaves=num_octaves, sigma0=sigma0,
+            contrast_threshold=contrast_threshold,
+            edge_threshold=edge_threshold, detector=detector,
+            min_features=min_features)
+
+    def f(stack):
+        if stack.dtype != jnp.float32:
+            stack = stack.astype(jnp.float32) / 255.0
+        bases_b, xy_b, sc_b, resp_b, valid_b = jax.vmap(detect_one)(stack)
+        counts = valid_b.sum(axis=1)
+        cmax = counts.max()
+        bidx = jnp.sum(cmax > jnp.asarray(buckets))  # buckets[-1] >= cmax
+
+        def mk(slots):
+            def g(_):
+                return jax.vmap(
+                    lambda bases, xy, sc, resp, valid:
+                    feat_mod.describe_keypoints(
+                        bases, xy[:slots], sc[:slots], resp[:slots],
+                        valid[:slots], sigma0=sigma0, detector=detector,
+                        pad_to=max_features)
+                )(bases_b, xy_b, sc_b, resp_b, valid_b)
+            return g
+
+        kp_b, d_b = jax.lax.switch(jnp.minimum(bidx, len(buckets) - 1),
+                                   [mk(s) for s in buckets], 0)
+        outs = tuple((jax.tree.map(lambda x: x[i], kp_b), d_b[i])
+                     for i in range(batch))
+        return outs, counts
+    return jax.jit(f)
+
+
 @functools.lru_cache(maxsize=None)
 def _detect_only_fn(max_features: int, num_scales: int, num_octaves: int,
                     sigma0: float, contrast_threshold: float,
-                    edge_threshold: float, detector: str = "sift"):
-    """Jitted vmapped detection half (pyramid + extrema + top-K), cached
-    per config. Returns (bases, xy, scale, resp, valid) response-sorted."""
+                    edge_threshold: float, detector: str = "sift",
+                    min_features: Optional[int] = None):
+    """Jitted vmapped detection half (pyramid + extrema + top-K + in-graph
+    adaptive threshold), cached per config. Returns (bases, xy, scale,
+    resp, valid) response-sorted."""
     import jax
 
     return jax.jit(jax.vmap(
@@ -262,7 +366,8 @@ def _detect_only_fn(max_features: int, num_scales: int, num_octaves: int,
             im, max_features=max_features, num_scales=num_scales,
             num_octaves=num_octaves, sigma0=sigma0,
             contrast_threshold=contrast_threshold,
-            edge_threshold=edge_threshold, detector=detector)))
+            edge_threshold=edge_threshold, detector=detector,
+            min_features=min_features)))
 
 
 @functools.lru_cache(maxsize=None)
@@ -282,7 +387,7 @@ def _describe_only_fn(max_features: int, slots: int, sigma0: float,
 def _detect_batched_fn(max_features: int, num_scales: int, num_octaves: int,
                        sigma0: float, contrast_threshold: float,
                        edge_threshold: float, detector: str = "sift",
-                       mesh=None):
+                       min_features: Optional[int] = None, mesh=None):
     """Jitted vmapped detector, cached per detector config so repeated
     detect_all calls reuse the compiled executable. With ``mesh`` the image
     batch is sharded over the devices via shard_map (per-image detection is
@@ -295,7 +400,8 @@ def _detect_batched_fn(max_features: int, num_scales: int, num_octaves: int,
             im, max_features=max_features, num_scales=num_scales,
             num_octaves=num_octaves, sigma0=sigma0,
             contrast_threshold=contrast_threshold,
-            edge_threshold=edge_threshold, detector=detector))
+            edge_threshold=edge_threshold, detector=detector,
+            min_features=min_features))
     if mesh is not None:
         from jax.sharding import PartitionSpec as PS
         from jax import shard_map

@@ -1,8 +1,20 @@
 """Front-end at the reference's DEFAULT scale: 10,000 features/image
-(SIFT default, interest_point.cc:51), batched detection + Pallas-fused
-matching on TPU. Reports per-image detect and per-pair match wall times.
+(SIFT default, interest_point.cc:51), one fused batched dispatch for
+detection + bucketed description, Pallas-fused matching on TPU. Reports
+per-image detect and per-pair match wall times.
 
-Run (real TPU): cd /root/repo && python scripts/bench_frontend_scale.py
+Measurement discipline (VERDICT r4 #2):
+- The IMAGES ARE THE SAME uint8 PIXELS the cv2 baseline
+  (bench_frontend_baseline.py) consumes — cv2.SIFT takes uint8 natively;
+  the TPU path ships uint8 through the host->device tunnel and
+  normalizes on device (bit-identical to detecting on img/255 f32).
+- Every timed phase ends with a REAL device sync (np.asarray of a scalar
+  per output — jax.block_until_ready on axon tunnel arrays can return
+  before remote execution finishes, CLAUDE.md; the r3/r4
+  FRONTEND_SCALE artifacts used block_until_ready and under-measured).
+- best-of-N wall times, N runs back-to-back in one process.
+
+Run (real TPU): PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_frontend_scale.py
 """
 
 from __future__ import annotations
@@ -13,53 +25,63 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+from frontend_scenes import make_noise_images
 
-def main():
+
+def to_u8(img: np.ndarray) -> np.ndarray:
+    return np.clip(img * 255.0, 0, 255).astype(np.uint8)
+
+
+def main(repeats: int = 4):
     import jax
     from multiview_tpu.sfm import pipeline as pl
 
     n_img = 8
-    rng = np.random.default_rng(0)
-    base = rng.uniform(size=(520, 680)).astype(np.float32)
-    for _ in range(2):
-        base = 0.25 * (np.roll(base, 1, 0) + np.roll(base, -1, 0)
-                       + np.roll(base, 1, 1) + np.roll(base, -1, 1))
-    images = [np.ascontiguousarray(base[i * 4:i * 4 + 480,
-                                        i * 3:i * 3 + 640])
-              for i in range(n_img)]
+    images = [to_u8(im) for im in make_noise_images(n_img)]
 
     cfg = pl.FrontendConfig(max_features=10000, num_overlaps=3)
 
-    # warm (compile), then time
+    def sync(descs):
+        for d in descs:
+            np.asarray(d.ravel()[0])
+
+    # warm (compile), then best-of-N
     t0 = time.perf_counter()
     kps, descs = pl.detect_all(images, cfg)
-    jax.block_until_ready(descs[-1])
+    sync(descs)
     compile_detect_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    kps, descs = pl.detect_all(images, cfg)
-    jax.block_until_ready(descs[-1])
-    detect_s = time.perf_counter() - t0
+    detect_s = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        kps, descs = pl.detect_all(images, cfg)
+        sync(descs)
+        detect_s = min(detect_s, time.perf_counter() - t0)
 
     pair_ids = [(i, j) for i in range(n_img)
                 for j in range(i + 1, min(i + 1 + cfg.num_overlaps, n_img))]
     t0 = time.perf_counter()
     raw = pl.match_pairs_batched(kps, descs, pair_ids, cfg)
     compile_match_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    raw = pl.match_pairs_batched(kps, descs, pair_ids, cfg)
-    match_s = time.perf_counter() - t0
+    match_s = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        raw = pl.match_pairs_batched(kps, descs, pair_ids, cfg)
+        match_s = min(match_s, time.perf_counter() - t0)
 
     n_feat = [int(np.asarray(k.valid).sum()) for k in kps]
     n_match = {f"{i}-{j}": len(v[0]) for (i, j), v in raw.items()}
     print(json.dumps({
         "n_images": n_img,
         "image_size": [640, 480],
+        "input_dtype": "uint8",
         "max_features": cfg.max_features,
         "features_detected": n_feat,
         "n_pairs": len(pair_ids),
+        "best_of": repeats,
         "detect_s_warm": round(detect_s, 3),
         "detect_ms_per_image": round(detect_s / n_img * 1e3, 1),
         "match_s_warm": round(match_s, 3),

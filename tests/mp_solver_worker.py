@@ -27,6 +27,28 @@ except Exception:
     pass
 
 
+def compute_outlier_gmask(cam_vec, points, state_template, scene, opts):
+    """Deterministic pass-1 outlier gate shared by the workers and the
+    single-process reference in test_sharding.py: flag the worst 10% of
+    pixel observations by pass-1 residual norm (identical host inputs in
+    every process -> identical mask everywhere, like the production gates
+    that compute from replicated solver outputs)."""
+    import dataclasses
+    import numpy as np
+    from multiview_tpu.calib import problem as prob
+
+    st = prob.unpack_state(cam_vec, state_template, include_points=False)
+    st = dataclasses.replace(st, points=points)
+    parts = []
+    for obs in scene.observations.pixels:
+        r = prob.pixel_residuals(st, obs, scene.models[obs.sensor], opts,
+                                 robust=False)
+        parts.append(np.linalg.norm(np.asarray(r), axis=-1))
+    rn = np.concatenate(parts)
+    thresh = np.quantile(rn, 0.9)
+    return rn <= thresh
+
+
 def main():
     pid = int(sys.argv[1])
     nproc = int(sys.argv[2])
@@ -67,13 +89,34 @@ def main():
     rep = NamedSharding(mesh, P())
     cam = np.asarray(jax.device_put(res.cam, rep))
     pts = np.asarray(jax.device_put(res.points, rep))
+
+    # PASS 2 (VERDICT r4 #8): the production loop flags outliers after each
+    # pass and re-shards the updated masks (_scatter_mask_updates keeps the
+    # old masks' cross-process sharding via _resharded_like); run a second
+    # solve with the updated masks through the SAME compiled solver
+    # (observations are runtime args — no recompile).
+    from multiview_tpu.calib import calibrator as cal
+    gmask = compute_outlier_gmask(cam, pts, state0, scene, opts)
+    obs2 = cal._scatter_mask_updates(obs_sharded, gmask)
+    for o_old, o_new in zip(obs_sharded.pixels, obs2.pixels):
+        assert o_new.mask.sharding == o_old.mask.sharding, \
+            "mask update lost its cross-process sharding"
+    res2 = solver(cam0, state_r.points, obs2)
+    cam2 = np.asarray(jax.device_put(res2.cam, rep))
+    pts2 = np.asarray(jax.device_put(res2.points, rep))
+
     np.savez(out_path, cam=cam, points=pts,
              cost=float(res.cost), initial_cost=float(res.initial_cost),
              iterations=int(res.iterations),
+             cam2=cam2, points2=pts2, cost2=float(res2.cost),
+             initial_cost2=float(res2.initial_cost),
+             gmask_flagged=int((~gmask).sum()),
              process_count=jax.process_count(),
              n_global_devices=len(jax.devices()),
              all_reduce_count=hlo.count("all-reduce"))
     print(f"worker {pid}: cost={float(res.cost):.8g} "
+          f"pass2_cost={float(res2.cost):.8g} "
+          f"flagged={int((~gmask).sum())} "
           f"devices={len(jax.devices())} "
           f"all_reduce={hlo.count('all-reduce')}", flush=True)
 

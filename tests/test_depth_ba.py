@@ -216,3 +216,94 @@ class TestAuxResidualParity:
             r_vec = prob.xyz_prior_residuals(st, prior, weight, th)
             np.testing.assert_allclose(np.asarray(r_aux), np.asarray(r_vec),
                                        atol=1e-12)
+
+
+class TestDepthReleaseSemantics:
+    """Unit tests for _scatter_mask_updates: a feature flagged outlier must
+    lose its depth constraint too, and masks are monotone (never resurrect) —
+    the reference re-adds BracketedDepthError only for still-inlier features
+    (`rig_calibrator.cc:1759-1794`, gate at `:1620-1621`)."""
+
+    @staticmethod
+    def _pixel_obs(point_idx, mask=None, sensor=0):
+        n = len(point_idx)
+        if mask is None:
+            mask = np.ones(n, bool)
+        return prob.PixelObs(
+            pix=jnp.zeros((n, 2)), beg_idx=jnp.zeros(n, jnp.int32),
+            end_idx=jnp.zeros(n, jnp.int32),
+            point_idx=jnp.asarray(point_idx, jnp.int32),
+            dt_cam=jnp.zeros(n), dt_bracket=jnp.zeros(n),
+            mask=jnp.asarray(mask), dist_half_size=jnp.asarray([320.0, 240.0]),
+            sensor=sensor)
+
+    @staticmethod
+    def _depth_obs(point_idx, mask=None, pix_row=None, sensor=0):
+        n = len(point_idx)
+        if mask is None:
+            mask = np.ones(n, bool)
+        return prob.DepthObs(
+            depth_xyz=jnp.zeros((n, 3)), beg_idx=jnp.zeros(n, jnp.int32),
+            end_idx=jnp.zeros(n, jnp.int32),
+            point_idx=jnp.asarray(point_idx, jnp.int32),
+            dt_cam=jnp.zeros(n), dt_bracket=jnp.zeros(n),
+            mask=jnp.asarray(mask),
+            pix_row=(None if pix_row is None
+                     else jnp.asarray(pix_row, jnp.int32)),
+            sensor=sensor)
+
+    def test_pix_row_path_releases_flagged_feature(self):
+        # 4 pixel obs on points [0,1,2,1]; depth rows track pixel rows 1,3
+        obs = prob.Observations(
+            pixels=(self._pixel_obs([0, 1, 2, 1]),),
+            depths=(self._depth_obs([1, 1], pix_row=[1, 3]),))
+        gmask = np.array([True, False, True, True])  # flag pixel row 1
+        out = cal._scatter_mask_updates(obs, gmask)
+        np.testing.assert_array_equal(np.asarray(out.pixels[0].mask), gmask)
+        # depth row 0 followed pixel row 1 (flagged) -> dead;
+        # depth row 1 followed pixel row 3 (alive) -> survives
+        np.testing.assert_array_equal(np.asarray(out.depths[0].mask),
+                                      [False, True])
+
+    def test_track_fallback_releases_dead_track(self):
+        # two sensors; track 1's pixel obs all die, track 0 keeps one alive
+        obs = prob.Observations(
+            pixels=(self._pixel_obs([0, 1]), self._pixel_obs([1, 0], sensor=1)),
+            depths=(self._depth_obs([0, 1, 1]),))  # no pix_row bookkeeping
+        # global ordering: sensor0 rows [0,1], sensor1 rows [2,3]
+        gmask = np.array([True, False, False, True])
+        out = cal._scatter_mask_updates(obs, gmask)
+        np.testing.assert_array_equal(np.asarray(out.depths[0].mask),
+                                      [True, False, False])
+
+    def test_masks_are_monotone_never_resurrect(self):
+        obs = prob.Observations(
+            pixels=(self._pixel_obs([0, 1, 2]),),
+            depths=(self._depth_obs([0, 1, 2], pix_row=[0, 1, 2]),))
+        out1 = cal._scatter_mask_updates(obs, np.array([True, False, True]))
+        np.testing.assert_array_equal(np.asarray(out1.depths[0].mask),
+                                      [True, False, True])
+        # an all-True later pass must not bring the dead row back
+        out2 = cal._scatter_mask_updates(out1, np.array([True, True, True]))
+        np.testing.assert_array_equal(np.asarray(out2.pixels[0].mask),
+                                      [True, False, True])
+        np.testing.assert_array_equal(np.asarray(out2.depths[0].mask),
+                                      [True, False, True])
+        # same for the track-level fallback path
+        obs_nf = prob.Observations(
+            pixels=(self._pixel_obs([0, 1, 2]),),
+            depths=(self._depth_obs([0, 1, 2]),))
+        out3 = cal._scatter_mask_updates(obs_nf, np.array([True, False, True]))
+        out4 = cal._scatter_mask_updates(out3, np.array([True, True, True]))
+        np.testing.assert_array_equal(np.asarray(out4.depths[0].mask),
+                                      [True, False, True])
+
+    def test_out_of_range_depth_point_ids_die_safely(self):
+        # depth rows referencing a point no pixel obs covers (id 7) or an
+        # invalid id (-1) must read dead, not index OOB / wrap (ADVICE r4)
+        obs = prob.Observations(
+            pixels=(self._pixel_obs([0, 1]),),
+            depths=(self._depth_obs([0, 7, -1]),))
+        out = cal._scatter_mask_updates(obs, np.array([True, True]))
+        np.testing.assert_array_equal(np.asarray(out.depths[0].mask),
+                                      [True, False, False])

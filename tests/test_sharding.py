@@ -344,10 +344,15 @@ class TestMultiProcess:
         assert int(r0["n_global_devices"]) == 8
         assert int(r0["all_reduce_count"]) > 0, \
             "multi-process solve compiled without collectives"
-        # the two processes computed the SAME distributed solve
+        # the two processes computed the SAME distributed solve — both passes
         np.testing.assert_array_equal(r0["cam"], r1["cam"])
         np.testing.assert_allclose(float(r0["cost"]), float(r1["cost"]),
                                    rtol=0)
+        np.testing.assert_array_equal(r0["cam2"], r1["cam2"])
+        np.testing.assert_allclose(float(r0["cost2"]), float(r1["cost2"]),
+                                   rtol=0)
+        assert int(r0["gmask_flagged"]) > 0, \
+            "pass-2 gate flagged nothing; mask-update path untested"
 
         # single-process reference (this pytest process: 8 virtual devices)
         scene = syn.make_cube_scene(n_images=8, n_per_face=3, pix_noise=0.3,
@@ -366,4 +371,22 @@ class TestMultiProcess:
         np.testing.assert_allclose(float(r0["cost"]), float(ref.cost),
                                    rtol=1e-6)
         np.testing.assert_allclose(r0["cam"], np.asarray(ref.cam),
+                                   rtol=1e-5, atol=1e-7)
+
+        # pass 2: same outlier gate + mask update, single-process (VERDICT
+        # r4 #8 — the cross-process mask re-sharding must change nothing)
+        from multiview_tpu.calib import calibrator as cal
+        import mp_solver_worker as mpw
+        opts = prob.BAOptions(no_rig=True)
+        gmask = mpw.compute_outlier_gmask(
+            np.asarray(ref.cam), np.asarray(ref.points), state0, scene, opts)
+        assert int((~gmask).sum()) == int(r0["gmask_flagged"])
+        obs2 = cal._scatter_mask_updates(scene.observations, gmask)
+        ref2 = solver(prob.pack_state(state0, include_points=False),
+                      state0.points, obs2)
+        np.testing.assert_allclose(float(r0["initial_cost2"]),
+                                   float(ref2.initial_cost), rtol=1e-8)
+        np.testing.assert_allclose(float(r0["cost2"]), float(ref2.cost),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(r0["cam2"], np.asarray(ref2.cam),
                                    rtol=1e-5, atol=1e-7)
