@@ -197,24 +197,20 @@ def detect_all(images: Sequence[np.ndarray], cfg: FrontendConfig,
             continue
         csize = chunk if mesh is not None else min(chunk, len(ids))
         use_fused = mesh is None and jax.default_backend() != "cpu"
-        for c0 in range(0, len(ids), csize):
-            sel = ids[c0:c0 + csize]
-            # pad the last chunk by repeating its first image: one compiled
-            # batch shape per (image shape, chunk) instead of per remainder
-            padded = sel + [sel[0]] * (csize - len(sel))
-            if use_fused:
-                # ship uint8 images at native byte width (normalized on
-                # device); one fused dispatch does detect + bucketed
-                # describe + per-image unstacking (no host round-trips)
-                first = np.asarray(images[padded[0]])
-                dt = np.uint8 if first.dtype == np.uint8 else np.float32
-                stack = jnp.asarray(np.stack([np.asarray(images[i], dt)
-                                              for i in padded]))
-                fused = _detect_describe_fused_fn(
-                    cfg.max_features, cfg.num_scales, cfg.num_octaves,
-                    cfg.sigma0, cfg.detect_threshold, cfg.edge_threshold,
-                    cfg.feature_detector, min_features, csize)
-                outs, counts_d = fused(stack)
+        if use_fused:
+            # PIPELINED fused path: dispatch EVERY chunk's upload + fused
+            # detect/describe before syncing any counts — uploads and the
+            # counts round-trips of chunk c overlap chunk c+1's compute
+            # (through the remote tunnel an upload alone is ~80 ms).
+            # Images ship uint8 at native byte width (normalized on
+            # device); one fused dispatch per chunk does detect + bucketed
+            # describe + per-image unstacking.
+            fused = _detect_describe_fused_fn(
+                cfg.max_features, cfg.num_scales, cfg.num_octaves,
+                cfg.sigma0, cfg.detect_threshold, cfg.edge_threshold,
+                cfg.feature_detector, min_features, csize)
+            def drain(item):
+                sel, (outs, counts_d) = item
                 counts = np.asarray(counts_d)
                 for row, i in enumerate(sel):
                     if counts[row] >= min_features:
@@ -228,7 +224,27 @@ def detect_all(images: Sequence[np.ndarray], cfg: FrontendConfig,
                             contrast_threshold=cfg.detect_threshold * 0.25 ** 4,
                             edge_threshold=cfg.edge_threshold,
                             detector=cfg.feature_detector))
-                continue
+
+            inflight: list = []
+            max_inflight = 4   # bounds device residency of pending chunks
+            for c0 in range(0, len(ids), csize):
+                sel = ids[c0:c0 + csize]
+                padded = sel + [sel[0]] * (csize - len(sel))
+                first = np.asarray(images[padded[0]])
+                dt = np.uint8 if first.dtype == np.uint8 else np.float32
+                stack = jnp.asarray(np.stack([np.asarray(images[i], dt)
+                                              for i in padded]))
+                inflight.append((sel, fused(stack)))
+                if len(inflight) > max_inflight:
+                    drain(inflight.pop(0))
+            for item in inflight:
+                drain(item)
+            continue
+        for c0 in range(0, len(ids), csize):
+            sel = ids[c0:c0 + csize]
+            # pad the last chunk by repeating its first image: one compiled
+            # batch shape per (image shape, chunk) instead of per remainder
+            padded = sel + [sel[0]] * (csize - len(sel))
             stack = jnp.asarray(np.stack([np.asarray(images[i], np.float32)
                                           for i in padded]))
             if mesh is None:
@@ -544,29 +560,50 @@ def match_pair(kp_i, d_i, kp_j, d_j, cfg: FrontendConfig, seed: int = 0):
     return p1[inl], p2[inl]
 
 
+@functools.lru_cache(maxsize=None)
+def _cam_filter_jit(max_reproj_px: float):
+    """Jitted core of the camera-guided match filter: ONE dispatch per
+    pair (the eager version issued ~10 device ops per pair through the
+    dispatch tunnel, dominating the calibrate front-end). CameraParams is
+    a registered pytree with static model fields, so one executable per
+    (model_i, model_j, bucket) serves all pairs."""
+    import jax
+    from multiview_tpu.geometry.camera import DISTORTED, UNDISTORTED_C
+
+    def f(xy_i, xy_j, valid, cam_i, cam_j, w2c_i, w2c_j):
+        ui = cam_i.convert(xy_i, DISTORTED, UNDISTORTED_C)
+        uj = cam_j.convert(xy_j, DISTORTED, UNDISTORTED_C)
+        focal2 = jnp.stack([cam_i.mean_focal, cam_j.mean_focal])
+        Pi = tri_mod.projection_matrix(focal2, jnp.stack([w2c_i, w2c_j]))
+        pix = jnp.stack([ui, uj], axis=1)                   # [K,2,2]
+        X, _, ok = jax.vmap(
+            lambda p: tri_mod.triangulate_track(Pi, p, jnp.ones(2, bool)))(pix)
+        for (cam, w2c, meas) in ((cam_i, w2c_i, xy_i), (cam_j, w2c_j, xy_j)):
+            Xc = pose_mod.pose_apply(w2c, X)                # [K,3]
+            pred = cam.project_cam_to_dist_pix(Xc)
+            ok = ok & (jnp.linalg.norm(pred - meas, axis=-1)
+                       <= max_reproj_px)
+        return ok & valid
+    return jax.jit(f)
+
+
 def cam_guided_filter(xy_i, xy_j, cam_i, cam_j, w2c_i, w2c_j,
                       max_reproj_px: float):
     """Reject matches whose two-view triangulation reprojects badly
     (matchFeaturesWithCams, interest_point.cc:181-301). Fully batched:
-    all K matches of a pair triangulate in one vmapped kernel."""
-    import jax
-    from multiview_tpu.geometry.camera import DISTORTED, UNDISTORTED_C
+    all K matches of a pair triangulate in one jitted dispatch, padded to
+    a power-of-2 bucket so one executable serves all match counts."""
+    from multiview_tpu.utils.padding import pad_rows_pow2
     if len(xy_i) == 0:
         return xy_i, xy_j
-    ui = cam_i.convert(jnp.asarray(xy_i), DISTORTED, UNDISTORTED_C)
-    uj = cam_j.convert(jnp.asarray(xy_j), DISTORTED, UNDISTORTED_C)
-    fi, fj = float(cam_i.mean_focal), float(cam_j.mean_focal)
-    Pi = tri_mod.projection_matrix(jnp.asarray([fi, fj]),
-                                   jnp.stack([jnp.asarray(w2c_i), jnp.asarray(w2c_j)]))
-    pix = jnp.stack([ui, uj], axis=1)                       # [K,2,2]
-    X, _, ok = jax.vmap(
-        lambda p: tri_mod.triangulate_track(Pi, p, jnp.ones(2, bool)))(pix)
-    for (cam, w2c, meas) in ((cam_i, w2c_i, xy_i), (cam_j, w2c_j, xy_j)):
-        Xc = pose_mod.pose_apply(jnp.asarray(w2c), X)       # [K,3]
-        pred = cam.project_cam_to_dist_pix(Xc)
-        ok = ok & (jnp.linalg.norm(pred - jnp.asarray(meas), axis=-1)
-                   <= max_reproj_px)
-    keep = np.asarray(ok)
+    K = len(xy_i)
+    xi = pad_rows_pow2(np.asarray(xy_i, np.float64))
+    xj = pad_rows_pow2(np.asarray(xy_j, np.float64))
+    valid = pad_rows_pow2(np.ones(K, bool), fill=False)
+    fn = _cam_filter_jit(float(max_reproj_px))
+    ok = fn(jnp.asarray(xi), jnp.asarray(xj), jnp.asarray(valid),
+            cam_i, cam_j, jnp.asarray(w2c_i), jnp.asarray(w2c_j))
+    keep = np.asarray(ok)[:K]
     return xy_i[keep], xy_j[keep]
 
 

@@ -46,8 +46,11 @@ def main(repeats: int = 4):
     cfg = pl.FrontendConfig(max_features=10000, num_overlaps=3)
 
     def sync(descs):
-        for d in descs:
-            np.asarray(d.ravel()[0])
+        # one scalar transfer AFTER the last dispatched executable — a
+        # real completion barrier (all chunks execute in-order on the one
+        # device stream); per-image scalar syncs would serialize 8 extra
+        # tunnel round-trips into the measurement
+        np.asarray(descs[-1][:1, :1])
 
     # warm (compile), then best-of-N
     t0 = time.perf_counter()

@@ -496,12 +496,19 @@ def main():
 
     stages = args.stages.split(",")
     timings = {}
+    rss = {}
+
+    def peak_rss_mb():
+        import resource
+        return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
 
     def run(name, argv):
         t = time.perf_counter()
         ret = cli_main(argv)
         timings[name] = round(time.perf_counter() - t, 2)
-        print(f"[pipeline] {name}: {timings[name]} s", file=sys.stderr)
+        rss[name] = round(peak_rss_mb(), 1)
+        print(f"[pipeline] {name}: {timings[name]} s "
+              f"(peak host RSS {rss[name]} MB)", file=sys.stderr)
         assert ret == 0, f"stage {name} failed"
 
     accuracy = {}
@@ -614,6 +621,7 @@ def main():
 
     timings["total"] = round(sum(v for k, v in timings.items()), 2)
     out = {"pipeline_stage_seconds": timings,
+           "peak_host_rss_mb_after_stage": rss,
            "n_images": args.n_images,
            "image_size": list(size)}
     if accuracy:
