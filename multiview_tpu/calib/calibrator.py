@@ -512,6 +512,40 @@ def refit_rpc_undistortion(state: prob.RigState, models: Sequence[str],
     return dataclasses.replace(state, dist=tuple(new_dist))
 
 
+_SCHUR_SOLVER_CACHE: Dict[tuple, object] = {}
+
+
+def _tree_sig(tree):
+    leaves, td = jax.tree_util.tree_flatten(tree)
+    return (str(td), tuple((tuple(np.shape(l)), str(np.asarray(l).dtype)
+                            if not hasattr(l, "dtype") else str(l.dtype))
+                           for l in leaves))
+
+
+def _cached_schur_solver(template, obs_now, models, opts, cam_mask_vec,
+                         num_iterations, cg_iterations, lo_c, up_c):
+    """Jitted Schur solver cached across optimize_rig CALLS by problem
+    STRUCTURE (shapes/dtypes/treedefs + the baked statics: mask, bounds,
+    iteration budgets). A fresh jax.jit closure per call re-traces an
+    identically-shaped solver (~8 s through this environment per trace) —
+    sfm-init's two BA refinement rounds paid it twice. Observations stay
+    runtime args, so cached solvers see every mask update."""
+    key = (models, opts, num_iterations, cg_iterations,
+           None if lo_c is None else (np.asarray(lo_c).tobytes(),
+                                      np.asarray(up_c).tobytes()),
+           np.asarray(cam_mask_vec).tobytes(),
+           _tree_sig(template), _tree_sig(obs_now))
+    fn = _SCHUR_SOLVER_CACHE.get(key)
+    if fn is None:
+        from multiview_tpu.solver import schur as schur_mod
+        fn = jax.jit(schur_mod.make_schur_solver(
+            template, obs_now, models, opts, cam_mask_vec,
+            max_iterations=num_iterations, cg_iterations=cg_iterations,
+            lower=lo_c, upper=up_c))
+        _SCHUR_SOLVER_CACHE[key] = fn
+    return fn
+
+
 # ----------------------------------------------------------------------------
 # The multi-pass driver
 # ----------------------------------------------------------------------------
@@ -698,10 +732,9 @@ def optimize_rig(
                 if lower is not None:
                     nc = prob.pack_state(state, include_points=False).shape[0]
                     lo_c, up_c = lower[:nc], upper[:nc]
-                schur_solver = jax.jit(schur_mod.make_schur_solver(
-                    template, obs_now, models, opts, cam_mask_vec,
-                    max_iterations=num_iterations, cg_iterations=cg_iterations,
-                    lower=lo_c, upper=up_c))
+                schur_solver = _cached_schur_solver(
+                    template, obs_now, tuple(models), opts, cam_mask_vec,
+                    num_iterations, cg_iterations, lo_c, up_c)
             res = schur_solver(prob.pack_state(state, include_points=False),
                                state.points, obs_now)
             lm_results.append(res)

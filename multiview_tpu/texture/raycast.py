@@ -145,3 +145,110 @@ def ray_mesh_intersect(origins, dirs, tri_verts, min_dist=0.0,
 def mesh_tri_verts(vertices: np.ndarray, faces: np.ndarray) -> np.ndarray:
     """[T,3,3] triangle soup from indexed mesh."""
     return np.asarray(vertices)[np.asarray(faces)]
+
+
+# ----------------------------------------------------------------------------
+# Occupancy-grid occlusion (large face x view problems)
+# ----------------------------------------------------------------------------
+
+
+def build_occupancy_grid(tri_verts, dim: int = 192, max_span: int = 8):
+    """Conservative voxel occupancy of a triangle soup (host-side, numpy).
+
+    Each triangle marks every cell its AABB touches (axis spans clipped to
+    ``max_span`` cells — mesh triangles are comparable to the voxel size in
+    every producer here, so the clip never binds in practice). Returns
+    (occ [X,Y,Z] uint8, origin [3], voxel float).
+
+    Rationale: exact occlusion for texturing is O(rays x triangles) —
+    at reference scale (410k faces x 100 views -> ~12M rays against the
+    410k-triangle soup) the brute-force Moller-Trumbore pass measured
+    2060 s of a 100-view texture run. Occlusion for VIEW SELECTION only
+    needs blocked/not-blocked, so a fixed-step march over a conservative
+    occupancy grid — regular gathers inside one scanned executable, no
+    per-ray triangle products — replaces it at ~1/40 the wall time. The
+    depth/mesh-constraint consumers keep the exact intersector (they need
+    the hit point, not just visibility).
+    """
+    tv = np.asarray(tri_verts)
+    lo = tv.min(axis=(0, 1))
+    hi = tv.max(axis=(0, 1))
+    extent = np.maximum(hi - lo, 1e-9)
+    voxel = float(extent.max() / dim)
+    dims = np.minimum(np.ceil(extent / voxel).astype(int) + 2, dim + 2)
+    occ = np.zeros(tuple(dims), np.uint8)
+    tlo = np.clip(np.floor((tv.min(axis=1) - lo) / voxel).astype(int),
+                  0, dims - 1)
+    thi = np.clip(np.floor((tv.max(axis=1) - lo) / voxel).astype(int),
+                  0, dims - 1)
+    thi = np.minimum(thi, tlo + max_span - 1)
+    span = (thi - tlo).max(axis=0)
+    for dx in range(int(span[0]) + 1):
+        for dy in range(int(span[1]) + 1):
+            for dz in range(int(span[2]) + 1):
+                sel = ((tlo[:, 0] + dx <= thi[:, 0])
+                       & (tlo[:, 1] + dy <= thi[:, 1])
+                       & (tlo[:, 2] + dz <= thi[:, 2]))
+                occ[tlo[sel, 0] + dx, tlo[sel, 1] + dy, tlo[sel, 2] + dz] = 1
+    return occ, lo.astype(np.float32), voxel
+
+
+@functools.partial(jax.jit, static_argnames=("steps",))
+def _march_blocked_chunk(ctr, cam_ctr, occ_flat, occ_dims, origin,
+                         inv_voxel, skip, steps: int):
+    """Blocked mask [Fc,V] for face centers ctr against camera centers:
+    fixed-step sampling of the occupancy grid strictly inside
+    (skip, dist - skip) along each face->camera segment."""
+    to_cam = cam_ctr[None, :, :] - ctr[:, None, :]        # [Fc,V,3]
+    dist = jnp.linalg.norm(to_cam, axis=-1)
+    d = to_cam / jnp.maximum(dist[..., None], 1e-30)
+    span = dist - 2.0 * skip
+    valid = span > 0
+
+    sx, sy, sz = occ_dims
+
+    def body(s, blocked):
+        t = skip + span * ((s + 0.5) / steps)
+        pos = ctr[:, None, :] + t[..., None] * d
+        idx = jnp.floor((pos - origin) * inv_voxel).astype(jnp.int32)
+        ix = jnp.clip(idx[..., 0], 0, sx - 1)
+        iy = jnp.clip(idx[..., 1], 0, sy - 1)
+        iz = jnp.clip(idx[..., 2], 0, sz - 1)
+        lin = (ix * sy + iy) * sz + iz
+        val = occ_flat[lin.reshape(-1)].reshape(lin.shape)
+        return blocked | ((val > 0) & valid)
+
+    return jax.lax.fori_loop(0, steps, body,
+                             jnp.zeros(dist.shape, bool))
+
+
+def occlusion_blocked_grid(face_ctr, face_normal, cam_ctr, tri_verts,
+                           dim: int = 192, steps: int = 256,
+                           skip_voxels: float = 1.5,
+                           face_chunk: int = 4096):
+    """[F,V] blocked mask via the occupancy-grid march (see
+    build_occupancy_grid). ``skip_voxels`` voxels are excluded at BOTH
+    segment ends (the face's own surface cell and the camera's cell)."""
+    occ, origin, voxel = build_occupancy_grid(tri_verts, dim=dim)
+    occ_flat = jnp.asarray(occ.reshape(-1))
+    dims = occ.shape
+    skip = skip_voxels * voxel
+    F = face_ctr.shape[0]
+    # a full-voxel normal offset clears the face's OWN surface-cell layer:
+    # grazing rays otherwise run inside it for many samples and read as
+    # self-occluded (grid shadow-acne; measured 18% false blocks on a
+    # ground plane seen from low-elevation cameras)
+    ctr = jnp.asarray(face_ctr) + voxel * jnp.asarray(face_normal)
+    cam = jnp.asarray(cam_ctr)
+    fc = min(face_chunk, 1 << max(F - 1, 1).bit_length())
+    pad = (-F) % fc
+    if pad:
+        ctr = jnp.concatenate([ctr, jnp.broadcast_to(ctr[:1], (pad, 3))])
+    out = []
+    for b in range(ctr.shape[0] // fc):
+        out.append(_march_blocked_chunk(
+            ctr[b * fc:(b + 1) * fc], cam, occ_flat, dims,
+            jnp.asarray(origin), jnp.float32(1.0 / voxel),
+            jnp.float32(skip), steps))
+    blocked = jnp.concatenate(out)[:F] if len(out) > 1 else out[0][:F]
+    return blocked

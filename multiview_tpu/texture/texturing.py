@@ -47,11 +47,18 @@ def face_geometry(vertices, faces):
 
 
 def view_costs(vertices, faces, world_to_cam_poses, occlusion: bool = True,
-               max_dist: float = 100.0, max_angle_deg: float = 90.0):
+               max_dist: float = 100.0, max_angle_deg: float = 90.0,
+               occlusion_method: str = "auto"):
     """Per-(face, view) cost = view-angle + distance, with facing /
     in-front / angle-gate / occlusion usability tests (projectTexture cost,
     texture_processing.cc:1044-1087; the UV variant additionally gates the
     face-normal-to-camera angle at 75 deg, :1055-1058).
+
+    occlusion_method: "exact" (per-ray Moller-Trumbore against the full
+    soup — O(rays x triangles)), "grid" (conservative occupancy-grid
+    march, see raycast.build_occupancy_grid), or "auto" (grid above 4M
+    face-view pairs, where the exact pass measured 2060 s of a 100-view
+    410k-face texture run vs ~1 min for the march).
 
     Returns (cost [F,V] float with +inf at unusable entries, usable [F,V]).
     """
@@ -76,7 +83,17 @@ def view_costs(vertices, faces, world_to_cam_poses, occlusion: bool = True,
 
     usable = facing & angle_ok & in_front & (dist < max_dist)
 
+    if occlusion and occlusion_method not in ("exact", "grid", "auto"):
+        raise ValueError(f"unknown occlusion_method {occlusion_method!r}")
     if occlusion:
+        F, V = dist.shape
+        if occlusion_method == "auto":
+            occlusion_method = "grid" if F * V > 4_000_000 else "exact"
+    if occlusion and occlusion_method == "grid":
+        blocked = raycast.occlusion_blocked_grid(
+            ctr, normal, cam_ctr, vertices[faces])
+        usable = usable & ~blocked
+    elif occlusion:
         # ray from just-off-surface face center toward each camera; if the
         # mesh is hit before the camera, the view is occluded. Only entries
         # that already pass the geometric gates are cast (host compaction;
@@ -692,30 +709,29 @@ def global_seam_leveling(face_colors: np.ndarray, best_view: np.ndarray,
     b_norm = float(jnp.max(jnp.abs(rhs_of(jnp.zeros(c.shape, jnp.float32)))))
     b_norm = max(b_norm, 1e-30)
 
+    # BOUNDED dispatches: 64 sweeps + one residual check per device
+    # execution, convergence loop on host. A single while_loop execution
+    # of the whole solve exceeded the remote TPU worker's execution
+    # watchdog at reference scale (410k faces x 3 channels: worker killed
+    # mid-texture) — and a bounded executable is reused every block, so
+    # the host loop costs one round-trip per 64 sweeps.
     @jax.jit
-    def run(g0):
-        def cond(carry):
-            g, res, it = carry
-            return (it < iterations) & (res > tol * b_norm)
+    def run_block(g0):
+        def sweep(_, gg):
+            return (1.0 - omega) * gg + omega * rhs_of(gg) / denom
 
-        def body(carry):
-            g, _, it = carry
+        g_new = jax.lax.fori_loop(0, 64, sweep, g0)
+        # normal-equations residual of the UPDATED iterate
+        res = jnp.max(jnp.abs(rhs_of(g_new) - denom * g_new))
+        return g_new, res
 
-            # 8 sweeps per residual check: the residual evaluation costs a
-            # full rhs pass, so checking every sweep doubled the work
-            def sweep(_, gg):
-                return (1.0 - omega) * gg + omega * rhs_of(gg) / denom
-
-            g_new = jax.lax.fori_loop(0, 8, sweep, g)
-            # normal-equations residual of the UPDATED iterate
-            res = jnp.max(jnp.abs(rhs_of(g_new) - denom * g_new))
-            return g_new, res, it + 8
-
-        return jax.lax.while_loop(
-            cond, body, (g0, jnp.asarray(jnp.inf, jnp.float32),
-                         jnp.asarray(0)))
-
-    g, res, it = run(jnp.zeros(c.shape, jnp.float32))
+    g = jnp.zeros(c.shape, jnp.float32)
+    it = 0
+    res = float("inf")
+    while it < iterations and res > tol * b_norm:
+        g, res_d = run_block(g)
+        res = float(res_d)
+        it += 64
     info = dict(iterations=int(it), rel_residual=float(res) / b_norm)
     g = np.asarray(g)
     g = g[:, 0] if squeeze else g

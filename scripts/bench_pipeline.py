@@ -453,10 +453,17 @@ def main():
     ap.add_argument("--max_features", type=int, default=600)
     ap.add_argument("--num_overlaps", type=int, default=3)
     ap.add_argument("--out", default="/tmp/pipe_bench")
+    ap.add_argument("--voxel_size", type=float, default=0.04,
+                    help="fuse-mesh TSDF voxel (raise for large sweeps)")
+    ap.add_argument("--grid_dim", type=int, default=160)
+    ap.add_argument("--pixel_size", type=float, default=0.01,
+                    help="texture atlas pixel size")
     ap.add_argument("--keep", action="store_true",
                     help="keep the workspace (default: wiped first)")
-    ap.add_argument("--stages", default="sfm,calibrate,fuse,texture",
-                    help="comma list of stages to run")
+    ap.add_argument("--stages", default=None,
+                    help="comma list of stages to run (default: all; rig "
+                         "mode defaults to calibrate,fuse,texture — an "
+                         "EXPLICIT --stages always wins)")
     ap.add_argument("--rig", action="store_true",
                     help="3-sensor bracketed rig (nav + distorted sci + "
                          "haz depth) instead of the single-camera scene; "
@@ -480,14 +487,15 @@ def main():
     t0 = time.perf_counter()
     rig_true = None
     have_ws = args.keep and (ws / "cameras.txt").exists()
+    if args.stages is None:
+        args.stages = ("calibrate,fuse,texture" if args.rig
+                       else "sfm,calibrate,fuse,texture")
     if args.rig:
         if not have_ws or "calibrate" in args.stages:
             # rig_true is needed for the post-calibrate check, so rig
             # workspaces are rebuilt whenever calibrate runs
             rig_true = build_rig_workspace(ws, args.n_images, size, args.focal,
                                            hard=args.hard)
-        if args.stages == "sfm,calibrate,fuse,texture":
-            args.stages = "calibrate,fuse,texture"
     elif not have_ws:
         build_workspace(ws, args.n_images, size, args.focal, hard=args.hard)
     print(f"[pipeline] workspace ({args.n_images} images {size[0]}x{size[1]}"
@@ -606,8 +614,8 @@ def main():
             "--camera_poses", str(calib_poses),
             "--images", str(ws / "images"), "--out_dir", str(ws / "fused"),
             "--min_depth", "1.0", "--max_depth", "4.0",
-            "--stereo_algorithm", "sgm", "--voxel_size", "0.04",
-            "--grid_dim", "160"]
+            "--stereo_algorithm", "sgm", "--voxel_size", str(args.voxel_size),
+            "--grid_dim", str(args.grid_dim)]
             + (["--sensor", "nav_cam"] if args.rig else []))
     if "texture" in stages:
         run("texture", [
@@ -616,7 +624,7 @@ def main():
             "--images", str(ws / "images"),
             "--mesh", str(ws / "fused" / "fused_mesh.ply"),
             "--out_dir", str(ws / "textured"),
-            "--pixel_size", "0.01"]
+            "--pixel_size", str(args.pixel_size)]
             + (["--sensor", "nav_cam"] if args.rig else []))
 
     timings["total"] = round(sum(v for k, v in timings.items()), 2)

@@ -128,7 +128,7 @@ def roofline(scene, state0, cam_mask, mode):
     }
 
 
-def steady_roofline(scene, state0, cam_mask, mode, cg_k):
+def steady_roofline(scene, state0, cam_mask, mode, cg_k, ks=(2, 6)):
     """TRUE steady-state bytes & time per LM iteration, by construction
     (VERDICT r3 #3): HLO cost analysis counts a while body once regardless
     of trip count, so the production executable cannot be read off. Instead
@@ -144,7 +144,7 @@ def steady_roofline(scene, state0, cam_mask, mode, cg_k):
 
     cam0 = prob.pack_state(state0, include_points=False)
     meas = {}
-    for k in (1, 2):
+    for k in ks:
         fn = schur.make_schur_solver(
             state0, scene.observations, scene.models,
             prob.BAOptions(no_rig=True), cam_mask,
@@ -168,18 +168,21 @@ def steady_roofline(scene, state0, cam_mask, mode, cg_k):
                        bytes=float(ca.get("bytes accessed", 0.0)),
                        t=min(times), compile_s=compile_s)
 
-    d_bytes = meas[2]["bytes"] - meas[1]["bytes"]
-    d_flops = meas[2]["flops"] - meas[1]["flops"]
-    d_t = meas[2]["t"] - meas[1]["t"]
+    k_lo, k_hi = ks
+    span = k_hi - k_lo
+    d_bytes = (meas[k_hi]["bytes"] - meas[k_lo]["bytes"]) / span
+    d_flops = (meas[k_hi]["flops"] - meas[k_lo]["flops"]) / span
+    d_t = (meas[k_hi]["t"] - meas[k_lo]["t"]) / span
     return {
         "cg_steps_per_iter": cg_k,
+        "unroll_span": list(ks),
         "steady_iter_ms": round(d_t * 1e3, 2),
         "steady_gbytes_per_iter": round(d_bytes / 1e9, 3),
         "steady_gflops_per_iter": round(d_flops / 1e9, 2),
         "steady_achieved_gb_s": round(d_bytes / max(d_t, 1e-9) / 1e9, 1),
         "steady_achieved_gflops_s": round(d_flops / max(d_t, 1e-9) / 1e9, 1),
-        "onetime_gbytes": round((2 * meas[1]["bytes"] - meas[2]["bytes"]) / 1e9,
-                                3),
+        "onetime_gbytes": round(
+            (meas[k_lo]["bytes"] - k_lo * d_bytes) / 1e9, 3),
         "unroll_wall_ms": {k: round(m["t"] * 1e3, 2) for k, m in meas.items()},
         "unroll_compile_s": {k: round(m["compile_s"], 1)
                              for k, m in meas.items()},
