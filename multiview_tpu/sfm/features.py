@@ -133,7 +133,8 @@ def detect_keypoints(img, max_features: int = 1000, num_scales: int = 3,
                      edge_threshold: float = 10.0,
                      detector: str = "sift",
                      min_features: Optional[int] = None,
-                     max_retries: int = 5):
+                     max_retries: int = 5,
+                     per_octave_k: Optional[int] = None):
     """Detection half: pyramid + per-octave extrema + global top-K.
 
     With ``min_features``, detection runs at the adaptive schedule's floor
@@ -147,29 +148,74 @@ def detect_keypoints(img, max_features: int = 1000, num_scales: int = 3,
     keypoint whenever k >= the valid count, the property the bucketed
     descriptor pass in pipeline.detect_all relies on; the adaptive valid
     cut keeps that prefix property, resp being the sort key)."""
+    bases, scores, centers = detect_scores(
+        img, num_scales, num_octaves, sigma0, contrast_threshold,
+        edge_threshold, detector,
+        min_features=min_features, max_retries=max_retries)
+    xy, scale, resp, valid = select_keypoints(
+        scores, centers, num_scales, sigma0, max_features, detector,
+        per_octave_k=per_octave_k)
+    if min_features is not None:
+        valid = _adaptive_valid(resp, valid, contrast_threshold,
+                                min_features, max_retries)
+    return (bases, xy, scale, resp, valid)
+
+
+def detect_scores(img, num_scales: int = 3, num_octaves: int = 4,
+                  sigma0: float = 1.6, contrast_threshold: float = 0.015,
+                  edge_threshold: float = 10.0, detector: str = "sift",
+                  min_features: Optional[int] = None, max_retries: int = 5):
+    """Score-map half of detection: pyramid + extrema tests, NO top-k.
+
+    Returns (bases, scores, centers): per-octave base images, masked
+    response maps (0 everywhere but at extrema above the floor threshold),
+    and the raw DoG/DoH center slabs needed for sub-pixel refinement.
+    Splitting here lets the batch-level callers count candidates in-graph
+    (``jnp.sum(score > 0)``) and pick a top-k bucket BEFORE selection —
+    ``lax.top_k`` cost scales with k (measured 19 -> 50 ms per 8 images
+    from k=128 to k=10000) while typical scenes yield ~2k extrema."""
     if detector not in ("sift", "surf"):
         raise ValueError(f"unknown detector {detector!r}")
     img = jnp.asarray(img, jnp.float32)
 
     floor = (contrast_threshold if min_features is None
              else contrast_threshold * 0.25 ** (max_retries - 1))
-    all_kp = []
-    bases = []
+    bases, scores, centers = [], [], []
     base = img
     for octave in range(num_octaves):
         bases.append(base)
         if detector == "surf":
-            kps = _detect_octave_hessian(base, octave, num_scales, sigma0,
-                                         floor, max_features)
+            sc, ce = _octave_scores_hessian(base, num_scales, sigma0, floor)
         else:
-            kps = _detect_octave(base, octave, num_scales, sigma0,
-                                 floor, edge_threshold,
-                                 max_features)
-        all_kp.append(kps)
+            sc, ce = _octave_scores_dog(base, num_scales, sigma0, floor,
+                                        edge_threshold)
+        scores.append(sc)
+        centers.append(ce)
         H, W = base.shape
         if min(H, W) // 2 < 16:
             break
         base = gaussian_blur(base, sigma0)[::2, ::2]
+    return tuple(bases), tuple(scores), tuple(centers)
+
+
+def select_keypoints(scores, centers, num_scales: int, sigma0: float,
+                     max_features: int, detector: str = "sift",
+                     per_octave_k: Optional[int] = None):
+    """Selection half: per-octave top-k + sub-pixel refinement + global
+    top-``max_features``, padded to ``max_features`` rows.
+
+    ``per_octave_k`` bounds the per-octave top-k (default: max_features).
+    Whenever every octave's candidate count is <= per_octave_k the result's
+    VALID rows are bitwise those of the unbounded selection (candidates are
+    a superset at the floor threshold; weaker k only drops rows that would
+    be cut anyway) — the exactness contract the batch-level top-k bucket
+    ladder in sfm/pipeline.py relies on (it picks the bucket from in-graph
+    candidate counts)."""
+    all_kp = []
+    for octave, (sc, ce) in enumerate(zip(scores, centers)):
+        k_o = min(per_octave_k or max_features, int(np.prod(sc.shape)))
+        all_kp.append(_octave_select(sc, ce, octave, num_scales, sigma0,
+                                     k_o, detector))
 
     xy = jnp.concatenate([k[0] for k in all_kp])
     scale = jnp.concatenate([k[1] for k in all_kp])
@@ -177,13 +223,17 @@ def detect_keypoints(img, max_features: int = 1000, num_scales: int = 3,
     valid = jnp.concatenate([k[3] for k in all_kp])
 
     # global top-K by response among valid
+    k_fin = min(max_features, xy.shape[0])
     score = jnp.where(valid, resp, -jnp.inf)
-    top = jax.lax.top_k(score, max_features)[1]
+    top = jax.lax.top_k(score, k_fin)[1]
     xy, scale, resp, valid = xy[top], scale[top], resp[top], valid[top]
-    if min_features is not None:
-        valid = _adaptive_valid(resp, valid, contrast_threshold,
-                                min_features, max_retries)
-    return (tuple(bases), xy, scale, resp, valid)
+    if k_fin < max_features:
+        n = max_features - k_fin
+        xy = jnp.pad(xy, ((0, n), (0, 0)))
+        scale = jnp.pad(scale, (0, n))
+        resp = jnp.pad(resp, (0, n))
+        valid = jnp.pad(valid, (0, n))
+    return xy, scale, resp, valid
 
 
 def describe_keypoints(bases, xy, scale, resp, valid, sigma0: float = 1.6,
@@ -232,14 +282,13 @@ def detect_and_describe(img, max_features: int = 1000, num_scales: int = 3,
     return describe_keypoints(bases, xy, scale, resp, valid, sigma0, detector)
 
 
-def _detect_octave_hessian(base, octave, num_scales, sigma0,
-                           hessian_threshold, per_octave_k):
-    """Scale-normalized determinant-of-Hessian maxima in one octave — the
-    role of SURF's Fast Hessian (`matching.cc:48-183` selects SURF by this
-    response). Exact Gaussian second derivatives replace SURF's box-filter
-    approximation (an integral-image CPU trick; separable convs are the TPU
-    shape of the same operator). Returns (xy, sigma, resp, valid) padded to
-    per_octave_k rows in original-resolution coordinates."""
+def _octave_scores_hessian(base, num_scales, sigma0, hessian_threshold):
+    """Scale-normalized determinant-of-Hessian response maps in one octave
+    — the role of SURF's Fast Hessian (`matching.cc:48-183` selects SURF by
+    this response). Exact Gaussian second derivatives replace SURF's
+    box-filter approximation (an integral-image CPU trick; separable convs
+    are the TPU shape of the same operator). Returns (score, center):
+    masked responses (0 off-extremum) and the raw DoH slabs."""
     k = 2.0 ** (1.0 / num_scales)
     sigmas = [sigma0 * k ** s for s in range(num_scales + 2)]
     L = jnp.stack([gaussian_blur(base, s) for s in sigmas])   # [S,H,W]
@@ -270,39 +319,14 @@ def _detect_octave_hessian(base, octave, num_scales, sigma0,
     inside = ((xgrid >= border) & (xgrid < Wc - border)
               & (ygrid >= border) & (ygrid < Hc - border))
     extremum = extremum & inside
-
-    score = jnp.where(extremum, center, 0.0).reshape(-1)
-    vals, flat_idx = jax.lax.top_k(score, per_octave_k)
-    s_idx = flat_idx // (Hc * Wc)
-    y_idx = (flat_idx % (Hc * Wc)) // Wc
-    x_idx = flat_idx % Wc
-    valid = vals > 0.0
-
-    # sub-pixel refinement on the DoH response (same quadratic fit as DoG)
-    c00 = center[s_idx, y_idx, x_idx]
-    cxm = center[s_idx, y_idx, jnp.maximum(x_idx - 1, 0)]
-    cxp = center[s_idx, y_idx, jnp.minimum(x_idx + 1, Wc - 1)]
-    cym = center[s_idx, jnp.maximum(y_idx - 1, 0), x_idx]
-    cyp = center[s_idx, jnp.minimum(y_idx + 1, Hc - 1), x_idx]
-    gx = 0.5 * (cxp - cxm)
-    gy = 0.5 * (cyp - cym)
-    hxx = cxp + cxm - 2 * c00
-    hyy = cyp + cym - 2 * c00
-    dx = jnp.clip(-gx / jnp.where(jnp.abs(hxx) > 1e-12, hxx, 1e-12), -0.5, 0.5)
-    dy = jnp.clip(-gy / jnp.where(jnp.abs(hyy) > 1e-12, hyy, 1e-12), -0.5, 0.5)
-
-    factor = float(2 ** octave)
-    xy = (jnp.stack([x_idx, y_idx], axis=-1).astype(jnp.float32)
-          + jnp.stack([dx, dy], axis=-1)) * factor
-    sig = jnp.asarray(sigmas[1:num_scales + 1],
-                      jnp.float32)[jnp.clip(s_idx, 0, num_scales - 1)] * factor
-    return xy, sig, vals, valid
+    return jnp.where(extremum, center, 0.0), center
 
 
-def _detect_octave(base, octave, num_scales, sigma0, contrast_threshold,
-                   edge_threshold, per_octave_k):
-    """DoG extrema in one octave. Returns (xy, sigma, resp, valid) padded to
-    per_octave_k rows (image coordinates of the original resolution)."""
+def _octave_scores_dog(base, num_scales, sigma0, contrast_threshold,
+                       edge_threshold):
+    """DoG extrema response maps in one octave. Returns (score, center):
+    |DoG| masked to extrema passing contrast/edge/border tests (0
+    elsewhere) and the raw signed DoG slabs for refinement."""
     k = 2.0 ** (1.0 / num_scales)
     sigmas = [sigma0 * k ** s for s in range(num_scales + 3)]
     gauss = [gaussian_blur(base, s) for s in sigmas]
@@ -346,16 +370,23 @@ def _detect_octave(base, octave, num_scales, sigma0, contrast_threshold,
     inside = ((xgrid >= border) & (xgrid < Wc - border)
               & (ygrid >= border) & (ygrid < Hc - border))
     extremum = extremum & inside
+    return jnp.where(extremum, jnp.abs(center), 0.0), center
 
-    score = jnp.where(extremum, jnp.abs(center), 0.0).reshape(-1)
-    vals, flat_idx = jax.lax.top_k(score, per_octave_k)
+
+def _octave_select(score, center, octave, num_scales, sigma0, per_octave_k,
+                   detector):
+    """Top-``per_octave_k`` selection + sub-pixel refinement over one
+    octave's masked score map. Returns (xy, sigma, resp, valid) in
+    original-resolution coordinates."""
+    Sc, Hc, Wc = center.shape
+    vals, flat_idx = jax.lax.top_k(score.reshape(-1), per_octave_k)
     s_idx = flat_idx // (Hc * Wc)
     y_idx = (flat_idx % (Hc * Wc)) // Wc
     x_idx = flat_idx % Wc
     valid = vals > 0.0
 
-    # sub-pixel refinement: quadratic fit of the DoG around the extremum,
-    # offset = -H^-1 g in (x, y), clipped to half a pixel
+    # sub-pixel refinement: quadratic fit of the response around the
+    # extremum, offset = -H^-1 g in (x, y), clipped to half a pixel
     c00 = center[s_idx, y_idx, x_idx]
     cxm = center[s_idx, y_idx, jnp.maximum(x_idx - 1, 0)]
     cxp = center[s_idx, y_idx, jnp.minimum(x_idx + 1, Wc - 1)]
@@ -368,11 +399,18 @@ def _detect_octave(base, octave, num_scales, sigma0, contrast_threshold,
     dx = jnp.clip(-gx / jnp.where(jnp.abs(hxx) > 1e-12, hxx, 1e-12), -0.5, 0.5)
     dy = jnp.clip(-gy / jnp.where(jnp.abs(hyy) > 1e-12, hyy, 1e-12), -0.5, 0.5)
 
+    k = 2.0 ** (1.0 / num_scales)
     factor = float(2 ** octave)
     xy = (jnp.stack([x_idx, y_idx], axis=-1).astype(jnp.float32)
           + jnp.stack([dx, dy], axis=-1)) * factor
-    sig = jnp.asarray([sigmas[1 + s] for s in range(num_scales + 1)],
-                      jnp.float32)[jnp.clip(s_idx, 0, num_scales)] * factor
+    if detector == "surf":
+        sigmas = [sigma0 * k ** s for s in range(num_scales + 2)]
+        sig = jnp.asarray(sigmas[1:num_scales + 1], jnp.float32)[
+            jnp.clip(s_idx, 0, num_scales - 1)] * factor
+    else:
+        sigmas = [sigma0 * k ** s for s in range(num_scales + 3)]
+        sig = jnp.asarray([sigmas[1 + s] for s in range(num_scales + 1)],
+                          jnp.float32)[jnp.clip(s_idx, 0, num_scales)] * factor
     return xy, sig, vals, valid
 
 
