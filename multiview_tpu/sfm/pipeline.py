@@ -504,8 +504,19 @@ def _match_batched_fn(ratio: float, ransac_threshold: float,
 
     one = _match_one_fn(ratio, ransac_threshold, use_pallas)
     if use_pallas:
-        return jax.jit(lambda *args: jax.lax.map(lambda a: one(*a), args))
-    return jax.jit(jax.vmap(one))
+        return jax.jit(lambda *args: _narrow_tgt(
+            jax.lax.map(lambda a: one(*a), args)))
+    return jax.jit(lambda *args: _narrow_tgt(jax.vmap(one)(*args)))
+
+
+def _narrow_tgt(out):
+    """Shrink the [chunk,K] match-target indices to int16 when K allows:
+    the indices ride the slow host<->device tunnel every chunk and only
+    ever address K < 32768 descriptor slots."""
+    inl, tgt = out
+    if tgt.shape[-1] < 32768:
+        tgt = tgt.astype(jnp.int16)
+    return inl, tgt
 
 
 @functools.lru_cache(maxsize=None)
@@ -529,8 +540,8 @@ def _match_batched_sharded_fn(ratio: float, ransac_threshold: float,
     else:
         local = jax.vmap(one)
     spec = PS(tuple(mesh.axis_names))
-    return jax.jit(shard_map(local, mesh=mesh,
-                             in_specs=spec, out_specs=spec))
+    sharded = shard_map(local, mesh=mesh, in_specs=spec, out_specs=spec)
+    return jax.jit(lambda *args: _narrow_tgt(sharded(*args)))
 
 
 def match_pairs_batched(kps, descs, pair_ids, cfg: FrontendConfig,
@@ -568,6 +579,7 @@ def match_pairs_batched(kps, descs, pair_ids, cfg: FrontendConfig,
     else:
         one_v = _match_batched_fn(cfg.ratio, cfg.ransac_threshold, use_pallas)
     out = {}
+    xy_host = {}
     chunk = min(chunk, len(pair_ids)) if mesh is None else chunk
     for c0 in range(0, len(pair_ids), chunk):
         sel = pair_ids[c0:c0 + chunk]
@@ -584,14 +596,19 @@ def match_pairs_batched(kps, descs, pair_ids, cfg: FrontendConfig,
         keys = jax.vmap(jax.random.PRNGKey)(
             jnp.asarray([i * 1000 + j for i, j in padded], jnp.uint32))
         inl_b, tgt_b = one_v(di, dj, xyi, xyj, vi, vj, keys)
-        # one device->host transfer per chunk, then pure-host extraction
+        # one device->host transfer per chunk, then pure-host extraction.
+        # Keypoint coordinates come down once per unique IMAGE (the stacked
+        # per-pair copies are 2*chunk duplicates of the same [K,2] arrays —
+        # through this environment's ~41 MB/s host<->device tunnel the
+        # duplicate transfers dominated the whole matching stage).
         inl_b = np.asarray(inl_b)
         tgt_b = np.asarray(tgt_b)
-        xyi_h = np.asarray(xyi)
-        xyj_h = np.asarray(xyj)
+        for i in {im for p in sel for im in p}:
+            if i not in xy_host:
+                xy_host[i] = np.asarray(kps[i].xy)
         for row, (i, j) in enumerate(sel):
             m = inl_b[row]
-            out[(i, j)] = (xyi_h[row][m], xyj_h[row][tgt_b[row][m]])
+            out[(i, j)] = (xy_host[i][m], xy_host[j][tgt_b[row][m]])
     return out
 
 
