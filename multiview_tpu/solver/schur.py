@@ -421,6 +421,32 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
     use_dense_j = linear_solver == "cg_dense_j"
     use_blocks = linear_solver == "cg_blocks"
 
+    # Bracket fold: bracketing only ever produces end_idx == beg_idx + 1
+    # (two CONSECUTIVE ref timestamps, dense_map_utils.cc:1441-1658 /
+    # calib/bracketing.py) or the degenerate end_idx == beg_idx whose
+    # dt_bracket == 0 makes the end-pose Jacobian block EXACTLY zero
+    # (alpha is where-forced to 0.0, so autodiff yields literal zeros —
+    # geometry/pose.py interp_world_to_ref). Then the beg and end one-hot
+    # selector matmuls fold into ONE against a packed [R,14] table
+    # [W[r] | W[r+1]] (gather side) / one [R,N]@[N,14] matmul + an on-chip
+    # shifted add (reduce side): the selector streams — the dominant HBM
+    # traffic of every CG matvec at scale — halve with zero numerical
+    # change (garbage W[r+1] values on degenerate rows multiply exact-zero
+    # Jacobian entries). Detected from the BUILD-time observations; callers
+    # passing different observations at solve time must keep the bracket
+    # structure (index arrays are otherwise runtime values).
+    fold_brackets = False
+    if use_blocks:
+        def _consecutive(o):
+            try:
+                b = np.asarray(o.beg_idx)
+                e = np.asarray(o.end_idx)
+            except Exception:       # traced template (structure-only)
+                return False
+            return b.size == 0 or bool(np.all((e == b) | (e == b + 1)))
+        fold_brackets = (all(_consecutive(o) for o in observations.pixels)
+                         and all(_consecutive(o) for o in observations.depths))
+
     # Preconditioner modes:
     #   "jacobi"       — scalar diagonal of B (+damping)
     #   "schur_jacobi" — Ceres' SCHUR_JACOBI analogue: exact-per-row 7x7
@@ -706,7 +732,8 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
                 cache = pix_oh if kind == "pix" else dep_oh
                 if i not in cache:
                     o = obs.pixels[i] if kind == "pix" else obs.depths[i]
-                    cache[i] = (onehot(o.beg_idx), onehot(o.end_idx))
+                    cache[i] = (onehot(o.beg_idx),
+                                None if fold_brackets else onehot(o.end_idx))
                 metas.append(cache[i] + (jnp.asarray(ccols),))
         else:
             metas = [None] * len(fam_struct)
@@ -784,12 +811,22 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
                     one-hot matmuls (row gathers of 7-wide slices measured
                     SLOWER than the [N,R]@[R,7] matmul on TPU — small-row
                     gathers don't vectorize; the matmul streams the bf16
-                    one-hot at full HBM bandwidth)."""
+                    one-hot at full HBM bandwidth). With fold_brackets the
+                    beg/end matmuls collapse into one against the packed
+                    [R,14] table [W[r] | W[r+1]] (see the fold note above)."""
                     ohb, ohe, ccols = meta
                     Wref = xc[:num_ref * 7].reshape(num_ref, 7)
-                    Wb = Wref.astype(oh_dtype)
                     const = jnp.broadcast_to(xc[ccols],
                                              (j_cam.shape[0], ccols.shape[0]))
+                    if ohe is None:
+                        Wnext = jnp.concatenate([Wref[1:], Wref[-1:]], axis=0)
+                        Wcat = jnp.concatenate([Wref, Wnext],
+                                               axis=1).astype(oh_dtype)
+                        return jnp.concatenate(
+                            [jnp.matmul(ohb, Wcat,
+                                        preferred_element_type=dtype),
+                             const], axis=-1)
+                    Wb = Wref.astype(oh_dtype)
                     return jnp.concatenate(
                         [jnp.matmul(ohb, Wb, preferred_element_type=dtype),
                          jnp.matmul(ohe, Wb, preferred_element_type=dtype),
@@ -798,17 +835,25 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
                 def reduce_cols(contribs):
                     """[(meta, [N,B])] -> [C]: one-hot matmuls for the pose
                     columns, plain sum reductions for the per-sensor static
-                    columns."""
+                    columns. Folded: one [R,N]@[N,14] matmul per family; the
+                    end-half lands on pose r+1 via an on-chip shifted add
+                    (degenerate rows contribute exact zeros there)."""
                     gc = jnp.zeros(layout.total, dtype)
                     gpose = jnp.zeros((num_ref, 7), dtype)
                     for meta, contrib in contribs:
                         ohb, ohe, ccols = meta
                         cb = contrib.astype(oh_dtype)
-                        gpose = gpose \
-                            + jnp.matmul(ohb.T, cb[:, :7],
-                                         preferred_element_type=dtype) \
-                            + jnp.matmul(ohe.T, cb[:, 7:14],
-                                         preferred_element_type=dtype)
+                        if ohe is None:
+                            g14 = jnp.matmul(ohb.T, cb[:, :14],
+                                             preferred_element_type=dtype)
+                            gpose = gpose + g14[:, :7]
+                            gpose = gpose.at[1:].add(g14[:-1, 7:14])
+                        else:
+                            gpose = gpose \
+                                + jnp.matmul(ohb.T, cb[:, :7],
+                                             preferred_element_type=dtype) \
+                                + jnp.matmul(ohe.T, cb[:, 7:14],
+                                             preferred_element_type=dtype)
                         gc = gc.at[ccols].add(jnp.sum(contrib[:, 14:], axis=0))
                     return gc.at[:num_ref * 7].add(gpose.reshape(-1))
 
@@ -976,6 +1021,7 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
                         jp = [j_pt[:, :, m] for m in range(3)]
                         H = [[hinv9[:, 3 * a + b] for b in range(3)]
                              for a in range(3)]
+                    fold_rows = {}
                     for sl, idx, side in ((slice(0, 7), pi[0], 0),
                                           (slice(7, 14), pi[1], 1)):
                         # per-column free mask via a row gather of the pose
@@ -1004,7 +1050,9 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
                         rows49 = jnp.stack(
                             [bb[(min(i, j), max(i, j))]
                              for i in range(7) for j in range(7)], axis=-1)
-                        if meta is not None:
+                        if meta is not None and meta[1] is None:
+                            fold_rows[side] = rows49
+                        elif meta is not None:
                             # one-hot matmul segment-sum (no TPU scatter)
                             blocks = blocks + jnp.matmul(
                                 meta[side].T,
@@ -1014,6 +1062,19 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
                         else:
                             blocks = blocks.at[idx].add(
                                 rows49.reshape(-1, 7, 7))
+                    if fold_rows:
+                        # folded: ONE [R,N]@[N,98] selector matmul covers
+                        # both pose sides; the end-side half lands on pose
+                        # r+1 via a shifted add (degenerate rows contribute
+                        # exact zeros there — see the fold note)
+                        g98 = jnp.matmul(
+                            meta[0].T,
+                            jnp.concatenate([fold_rows[0], fold_rows[1]],
+                                            axis=-1).astype(oh_dtype),
+                            preferred_element_type=dtype)
+                        blocks = blocks + g98[:, :49].reshape(num_ref, 7, 7)
+                        blocks = blocks.at[1:].add(
+                            g98[:-1, 49:].reshape(num_ref - 1, 7, 7))
                 blocks = blocks + jax.vmap(jnp.diag)(
                     dc[:num_ref * 7].reshape(num_ref, 7))
                 pose_prec_inv = jnp.linalg.inv(blocks)

@@ -250,7 +250,10 @@ def analytic_iter_bytes(scene, state0, cg_k: int):
     f32, bf16 = 4, 2
     j_cam = N * k * B * f32
     j_pt = N * k * 3 * f32
-    oh = 2 * N * R * bf16          # beg + end selectors
+    # ONE folded selector (bracket fold, solver/schur.py: end_idx is
+    # structurally beg_idx or beg_idx+1, so beg+end selector matmuls share
+    # a single [N,R] stream against a packed [R,14] table)
+    oh = N * R * bf16
     resid = N * k * f32
     obs_in = N * 7 * f32
 
