@@ -917,9 +917,15 @@ def rel_dir_to_world(graph: ViewGraph, rotations: jnp.ndarray) -> ViewGraph:
 def largest_component_views(pair_data, num_views: int) -> np.ndarray:
     """Boolean [V] membership mask of the largest connected component of the
     view graph (host union-find). Views with no edges form singletons."""
+    return _largest_component_from_edges(
+        np.asarray([k for k in pair_data.keys()], np.int64), num_views)
+
+
+def _largest_component_from_edges(edges: np.ndarray,
+                                  num_views: int) -> np.ndarray:
     from multiview_tpu import native
 
-    edges = np.asarray([k for k in pair_data.keys()], np.int64)
+    edges = np.asarray(edges, np.int64).reshape(-1, 2)
     if len(edges) == 0:
         out = np.zeros(num_views, bool)
         out[:1] = True
@@ -949,7 +955,8 @@ def run_global_sfm(pair_data, num_views: int, dtype=jnp.float64,
     entry in the mask). With ``return_mask`` returns (poses [V,7],
     registered [V] bool)."""
     member = largest_component_views(pair_data, num_views)
-    if not member.all():
+
+    def _reconstruct_component(member):
         import sys
         print(f"Warning: view graph is disconnected; reconstructing the "
               f"largest connected component ({int(member.sum())}/{num_views} "
@@ -957,11 +964,13 @@ def run_global_sfm(pair_data, num_views: int, dtype=jnp.float64,
         remap = -np.ones(num_views, np.int64)
         remap[member] = np.arange(int(member.sum()))
         sub_pairs = {(int(remap[i]), int(remap[j])): v
-                     for (i, j), v in pair_data.items() if member[i]}
+                     for (i, j), v in pair_data.items()
+                     if member[i] and member[j]}
         sub_pids = None
         if pair_pids is not None:
             sub_pids = {(int(remap[i]), int(remap[j])): v
-                        for (i, j), v in pair_pids.items() if member[i]}
+                        for (i, j), v in pair_pids.items()
+                        if member[i] and member[j]}
         sub = run_global_sfm(sub_pairs, int(member.sum()), dtype,
                              pair_pids=sub_pids)
         sub = np.asarray(sub)
@@ -970,6 +979,9 @@ def run_global_sfm(pair_data, num_views: int, dtype=jnp.float64,
         poses[member] = sub
         poses = jnp.asarray(poses)
         return (poses, member) if return_mask else poses
+
+    if not member.all():
+        return _reconstruct_component(member)
 
     import os as _os
     import time as _time
@@ -989,6 +1001,17 @@ def run_global_sfm(pair_data, num_views: int, dtype=jnp.float64,
     else:
         graph = view_graph_from_matches(pair_data, num_views, dtype)
     _mk("view_graph")
+    # pair_data connectivity (checked above) is necessary but NOT
+    # sufficient: view_graph_from_matches drops edges (min-match,
+    # RANSAC/essential gates), so the BUILT graph can still be
+    # disconnected — first observed on the 298-image interleaved-rig
+    # scene, where cross-sensor pairs carry matches that fail the
+    # two-view gates. Reconstruct the largest component of the KEPT
+    # edges (Theia likewise registers only what connects).
+    gmember = _largest_component_from_edges(np.asarray(graph.edges),
+                                            num_views)
+    if not gmember.all():
+        return _reconstruct_component(gmember)
     full_edges = np.asarray(graph.edges)
     q, graph = robust_rotation_averaging(graph, num_views)
     _mk("rotation_averaging")

@@ -154,6 +154,42 @@ class TestFullPipeline:
         ate = np.sqrt(np.mean(np.sum((aligned - ctr_true) ** 2, -1)))
         assert ate < 0.05, f"component ATE {ate}"
 
+    def test_gate_dropped_bridge_reconstructs_component(self):
+        """pair_data connectivity is necessary but NOT sufficient: the
+        two-view gates drop edges (here: a bridge pair with <8 matches),
+        leaving the BUILT graph disconnected even though pair_data is
+        connected — first observed on the 298-image interleaved-rig scene
+        (cross-sensor pairs whose matches fail the gates). run_global_sfm
+        must reconstruct the largest kept-edge component, not crash."""
+        n_views = 8
+        w2c = syn.ring_poses(n_views, radius=3.0)
+        pts = syn.cube_points(5) * 2.0
+        pair_data = {}
+        for i in range(n_views):
+            for j in (i + 1, i + 2):
+                if j >= n_views or (i < 5) != (j < 5):
+                    continue
+                Xi = np.asarray(P.pose_apply(jnp.asarray(w2c[i]), jnp.asarray(pts)))
+                Xj = np.asarray(P.pose_apply(jnp.asarray(w2c[j]), jnp.asarray(pts)))
+                vis = (Xi[:, 2] > 0.1) & (Xj[:, 2] > 0.1)
+                if vis.sum() >= 16:
+                    pair_data[(i, j)] = (Xi[vis, :2] / Xi[vis, 2:],
+                                         Xj[vis, :2] / Xj[vis, 2:])
+        # the bridge: connects the clusters in pair_data but carries only
+        # 4 matches, below the K >= 8 build gate -> dropped from the graph
+        rng = np.random.default_rng(3)
+        pair_data[(4, 5)] = (rng.uniform(-0.5, 0.5, (4, 2)),
+                             rng.uniform(-0.5, 0.5, (4, 2)))
+        poses, mask = g.run_global_sfm(pair_data, n_views, return_mask=True)
+        assert mask.tolist() == [True] * 5 + [False] * 3
+        ctr_true = np.asarray(P.pose_t(P.pose_inverse(jnp.asarray(w2c[:5]))))
+        ctr_est = np.asarray(P.pose_t(P.pose_inverse(poses[:5])))
+        scale, T = reg.find_similarity_transform(jnp.asarray(ctr_est),
+                                                 jnp.asarray(ctr_true))
+        aligned = np.asarray(reg.apply_similarity(scale, T, jnp.asarray(ctr_est)))
+        ate = np.sqrt(np.mean(np.sum((aligned - ctr_true) ** 2, -1)))
+        assert ate < 0.05, f"component ATE {ate}"
+
     def test_noisy_correspondences(self):
         """Regression: measurement noise must not flip baseline directions
         (the cheirality depth-sign bug) nor blow up E estimates (inlier
