@@ -435,8 +435,9 @@ def make_schur_solver(template: prob.RigState, observations: prob.Observations,
     # Jacobian entries). Detected from the BUILD-time observations; callers
     # passing different observations at solve time must keep the bracket
     # structure (index arrays are otherwise runtime values).
+    import os as _os
     fold_brackets = False
-    if use_blocks:
+    if use_blocks and not _os.environ.get("MV_NO_BRACKET_FOLD"):
         def _consecutive(o):
             try:
                 b = np.asarray(o.beg_idx)

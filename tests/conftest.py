@@ -17,15 +17,20 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
+# The persistent XLA compilation cache is DISABLED for the CPU test suite
+# (it exists for the TPU remote-compile tunnel, where it stays on; CPU
+# compiles are local and fast). Two independent crash classes hit the
+# CPU+cache combination on this infra: (a) torn concurrent writes — fixed
+# at the root by multiview_tpu.__init__._patch_atomic_cache_writes and
+# validated round 4 with two cold full-suite runs; (b) round 5, a SIGSEGV
+# inside jax's put_executable_and_time serialization while a concurrent
+# TPU process wrote the same cache, plus XLA:CPU AOT loader warnings that
+# cached entries carry machine features ("prefer-no-scatter") absent at
+# load time ("could lead to execution errors such as SIGILL"). The CPU
+# suite gains little from the cache; the hazard is not worth it.
+os.environ.setdefault("MULTIVIEW_TPU_NO_COMPILE_CACHE", "1")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-
-# The persistent XLA compilation cache stays ENABLED for tests. Historical
-# SIGSEGV/SIGABRT crashes inside jax cache/compile internals were traced to
-# jax's non-atomic cache writes (a concurrent process reads a torn entry);
-# multiview_tpu.__init__._patch_atomic_cache_writes fixes that at the root
-# with temp-file + os.replace writes. Validated 2026-08-21: two consecutive
-# COLD-cache full-suite runs (fresh cache dir wiped before each) both
-# passed 272/272 with no crashes.
